@@ -1,0 +1,103 @@
+"""Frame and stream container tests."""
+
+import io
+
+import pytest
+
+from bzip3_tpu import Bz3Error, compress, decompress
+from bzip3_tpu.container.stream import (
+    compress_file,
+    decompress_file,
+    recover_file,
+    test_file as verify_stream,
+)
+
+
+def stream_roundtrip(data: bytes, block_size=65 * 1024) -> bytes:
+    buf = io.BytesIO()
+    compress_file(io.BytesIO(data), buf, block_size=block_size)
+    out = io.BytesIO()
+    decompress_file(io.BytesIO(buf.getvalue()), out)
+    return out.getvalue()
+
+
+def test_stream_roundtrip_multiblock():
+    data = b"0123456789abcdef" * 16 * 1024  # 256 KiB => 4 blocks at 65 KiB
+    assert stream_roundtrip(data) == data
+
+
+def test_stream_roundtrip_exact_multiple():
+    data = b"a" * (65 * 1024 * 2)
+    assert stream_roundtrip(data) == data
+
+
+def test_stream_empty():
+    assert stream_roundtrip(b"") == b""
+
+
+def test_frame_roundtrip():
+    data = b"frame api data " * 10000
+    enc = compress(data, block_size=65 * 1024)
+    assert decompress(enc) == data
+
+
+def test_frame_exact_multiple_not_dropped():
+    # The reference frame API drops the last block when the input is an
+    # exact multiple of the block size; ours must not.
+    data = bytes(range(256)) * 260  # 66560 = exactly 65 KiB
+    assert len(data) == 65 * 1024
+    enc = compress(data, block_size=65 * 1024)
+    assert decompress(enc) == data
+
+
+def test_frame_empty():
+    enc = compress(b"")
+    assert len(enc) == 13
+    assert decompress(enc) == b""
+
+
+def test_frame_bad_magic():
+    with pytest.raises(Bz3Error):
+        decompress(b"NOPE!" + b"\x00" * 20)
+
+
+def test_frame_truncated():
+    data = b"some data to compress " * 5000
+    enc = compress(data, block_size=65 * 1024)
+    with pytest.raises(Bz3Error):
+        decompress(enc[: len(enc) - 10])
+
+
+def test_stream_test_mode():
+    data = b"verify me " * 20000
+    buf = io.BytesIO()
+    compress_file(io.BytesIO(data), buf, block_size=65 * 1024)
+    r, w = verify_stream(io.BytesIO(buf.getvalue()))
+    assert w == len(data)
+
+
+def test_stream_recover_mode_corrupt_block():
+    data = b"recoverable " * 30000
+    buf = io.BytesIO()
+    compress_file(io.BytesIO(data), buf, block_size=65 * 1024)
+    raw = bytearray(buf.getvalue())
+    raw[60] ^= 0xFF  # corrupt inside first block payload
+    out = io.BytesIO()
+    recover_file(io.BytesIO(bytes(raw)), out)
+    # recovery emits best-effort bytes for the bad block and the intact
+    # remainder for the rest; total size is preserved
+    assert len(out.getvalue()) == len(data)
+
+
+def test_stream_invalid_signature():
+    with pytest.raises(Bz3Error):
+        decompress_file(io.BytesIO(b"BAD!!xxxxxxxx"), io.BytesIO())
+
+
+def test_stream_truncated_chunk():
+    data = b"payload " * 20000
+    buf = io.BytesIO()
+    compress_file(io.BytesIO(data), buf, block_size=65 * 1024)
+    raw = buf.getvalue()[:-5]
+    with pytest.raises(Bz3Error):
+        decompress_file(io.BytesIO(raw), io.BytesIO())
