@@ -1,0 +1,98 @@
+"""Device (JAX/XLA/Pallas) stage implementations.
+
+Batched, fixed-shape kernels:
+
+- crc32_batch      — lane-parallel CRC-32C with GF(2) combine
+- bwt_forward_batch / bwt_inverse_batch — prefix-doubling suffix sort /
+  segmented parallel LF-chain walk
+- cm_encode_batch / cm_decode_batch — lane-interleaved context-mixing
+  range coder
+
+plus a scalar engine namespace (`engine`) satisfying the same API as
+``bzip3_tpu.ops.ref`` so the block orchestrator can run stage-for-stage
+on device.  The scalar engine pads each block to a bucketed shape to
+bound recompilation; the batched pipeline in ``bzip3_tpu.pipeline`` is
+the intended high-throughput path.
+
+LZP and RLE currently delegate to the host implementations — LZP is a
+byte-serial hash-dictionary pass that belongs to the host runtime until
+the Pallas in-VMEM kernel lands; see SURVEY.md §7.2.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from .crc32 import crc32_batch, crc32
+from .bwt import bwt_forward_batch, bwt_inverse_batch
+from .cm import cm_encode_batch, cm_decode_batch
+
+from ..ref.lzp import lzp_encode, lzp_decode  # host pass (for now)
+from ..ref.rle import rle_encode, rle_decode  # host pass (for now)
+
+__all__ = [
+    "crc32_batch",
+    "bwt_forward_batch",
+    "bwt_inverse_batch",
+    "cm_encode_batch",
+    "cm_decode_batch",
+    "crc32",
+    "bwt_forward",
+    "bwt_inverse",
+    "cm_encode",
+    "cm_decode",
+    "lzp_encode",
+    "lzp_decode",
+    "rle_encode",
+    "rle_decode",
+]
+
+
+def _bucket(n: int) -> int:
+    """Pad size to a power of two (>= 64) to bound jit recompilation."""
+    b = 64
+    while b < n:
+        b <<= 1
+    return b
+
+
+def _pad1(data: bytes):
+    n = len(data)
+    w = _bucket(max(1, n))
+    arr = np.zeros((1, w), dtype=np.uint8)
+    arr[0, :n] = np.frombuffer(data, dtype=np.uint8)
+    return jnp.asarray(arr), jnp.asarray(np.array([n], np.int32))
+
+
+def bwt_forward(data: bytes):
+    n = len(data)
+    if n <= 1:
+        return data, n
+    arr, lens = _pad1(data)
+    u, idx = bwt_forward_batch(arr, lens)
+    return np.asarray(u)[0, :n].tobytes(), int(idx[0])
+
+
+def bwt_inverse(u: bytes, index: int):
+    n = len(u)
+    if n <= 1:
+        return u if index == n else None
+    if index <= 0 or index > n:
+        return None
+    arr, lens = _pad1(u)
+    out = bwt_inverse_batch(arr, lens, jnp.asarray(np.array([index], np.int32)))
+    return np.asarray(out)[0, :n].tobytes()
+
+
+def cm_encode(data: bytes) -> bytes:
+    arr, lens = _pad1(data)
+    out, optr = cm_encode_batch(arr, lens)
+    return np.asarray(out)[0, : int(optr[0])].tobytes()
+
+
+def cm_decode(data: bytes, out_len: int) -> bytes:
+    w = _bucket(max(1, out_len))
+    arr, lens = _pad1(data)
+    out = cm_decode_batch(
+        arr, lens, jnp.asarray(np.array([out_len], np.int32)), w
+    )
+    return np.asarray(out)[0, :out_len].tobytes()

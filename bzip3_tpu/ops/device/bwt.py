@@ -1,0 +1,199 @@
+"""Batched BWT on device.
+
+Forward: batched prefix-doubling (Manber–Myers) suffix sort — log N
+rounds of two-key radix sort via ``jax.lax.sort`` — instead of the
+reference's recursive SA-IS (include/libsais.h:3941).  Output contract
+matches libsais_bwt as invoked from src/libbz3.c:623: the BWT string of
+T without sentinel plus the primary index (see ops/ref/bwt.py for the
+exact index convention).
+
+Variable lengths inside a fixed [K, N] batch are handled with the
+distinct-sentinel trick: positions past a block's true length get
+strictly increasing keys smaller than any real symbol, so (a) suffix
+order of real positions is the true non-wrapping suffix order with
+end-of-string smallest, and (b) all pad suffixes sort to a contiguous
+prefix of the suffix array that is sliced off dynamically.
+
+Inverse: the reference chases the biPSI permutation 2 bytes per step
+(include/libsais.h:5069) — a serial pointer walk.  Here the LF chain is
+(1) built as one batched stable counting sort, (2) jumped into at S
+evenly spaced entry points computed with log2(seg) permutation
+self-compositions (pointer doubling, the idea latent in the unused
+libsais_unbwt_aux r-spaced decoder, include/libsais.h:5210), then
+(3) walked as S parallel segments, so every scan step does a [K, S]
+vector gather instead of 1 byte of serial work.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _dense_ranks(keys: jnp.ndarray, pos: jnp.ndarray):
+    """Dense ranks of keys along the last axis.  keys: [K, N] int32."""
+    k_dim, n = keys.shape
+    sk, sp = jax.lax.sort((keys, pos), num_keys=1, is_stable=True)
+    new_group = jnp.concatenate(
+        [jnp.zeros((k_dim, 1), jnp.int32), (sk[:, 1:] != sk[:, :-1]).astype(jnp.int32)],
+        axis=1,
+    )
+    ranks_sorted = jnp.cumsum(new_group, axis=1)
+    bidx = jnp.arange(k_dim)[:, None]
+    rank = jnp.zeros((k_dim, n), jnp.int32).at[bidx, sp].set(ranks_sorted)
+    return rank
+
+
+@jax.jit
+def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
+    """BWT of each row.  data: [K, N] uint8 (zero-padded), lengths: [K].
+
+    Returns (U [K, N] uint8, index [K] int32).  Rows with length <= 1
+    are the identity with index = length.
+    """
+    k_dim, n = data.shape
+    pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (k_dim, n))
+    lens = lengths[:, None]
+
+    # Sentinel keys: pad position j gets key j (< n), real byte b gets n + b.
+    key0 = jnp.where(pos < lens, jnp.int32(n) + data.astype(jnp.int32), pos)
+    rank = _dense_ranks(key0, pos)
+
+    def cond(carry):
+        rank, k, done = carry
+        return jnp.logical_and(jnp.logical_not(done), k < n)
+
+    def body(carry):
+        rank, k, _ = carry
+        # rank of the suffix starting k later; -1 past the end.
+        rank_k = jnp.where(
+            pos + k < n,
+            jnp.take_along_axis(rank, jnp.minimum(pos + k, n - 1), axis=1),
+            jnp.int32(-1),
+        )
+        _, _, order = jax.lax.sort((rank, rank_k, pos), num_keys=2, is_stable=True)
+        r_ord = jnp.take_along_axis(rank, order, axis=1)
+        rk_ord = jnp.take_along_axis(rank_k, order, axis=1)
+        new_group = jnp.concatenate(
+            [
+                jnp.zeros((k_dim, 1), jnp.int32),
+                ((r_ord[:, 1:] != r_ord[:, :-1]) | (rk_ord[:, 1:] != rk_ord[:, :-1])).astype(
+                    jnp.int32
+                ),
+            ],
+            axis=1,
+        )
+        ranks_sorted = jnp.cumsum(new_group, axis=1)
+        bidx = jnp.arange(k_dim)[:, None]
+        new_rank = jnp.zeros((k_dim, n), jnp.int32).at[bidx, order].set(ranks_sorted)
+        done = jnp.all(ranks_sorted[:, -1] == n - 1)
+        return new_rank, k * 2, done
+
+    init_done = jnp.all(rank.max(axis=1) == n - 1)
+    rank, _, _ = jax.lax.while_loop(cond, body, (rank, jnp.int32(1), init_done))
+
+    # SA[r] = position with rank r.
+    _, sa = jax.lax.sort((rank, pos), num_keys=1, is_stable=True)
+
+    # Real suffixes occupy SA[padlen:].  Locate rank of suffix 0.
+    padlen = jnp.int32(n) - lengths  # [K]
+    j0 = jnp.argmin(jnp.abs(sa), axis=1).astype(jnp.int32)  # SA==0 position
+    p = j0 - padlen  # index of suffix 0 inside the real SA
+
+    jj = pos  # output positions [K, N]
+    src = jj - 1 + (jj - 1 >= p[:, None]).astype(jnp.int32)  # skip entry p
+    sa_src = jnp.take_along_axis(
+        sa, jnp.clip(padlen[:, None] + src, 0, n - 1), axis=1
+    )
+    pred = jnp.take_along_axis(data, jnp.clip(sa_src - 1, 0, n - 1), axis=1)
+    last = jnp.take_along_axis(data, jnp.clip(lens - 1, 0, n - 1), axis=1)  # [K,1]
+    u = jnp.where(jj == 0, last, pred)
+    u = jnp.where(jj < lens, u, jnp.uint8(0))
+
+    idx = p + 1
+    # Degenerate rows: length <= 1 is the identity with index = length.
+    tiny = lengths <= 1
+    u = jnp.where(tiny[:, None], data, u)
+    idx = jnp.where(tiny, lengths, idx)
+    return u, idx
+
+
+@partial(jax.jit, static_argnames=("segments",))
+def bwt_inverse_batch(
+    u: jax.Array, lengths: jax.Array, indices: jax.Array, segments: int = 256
+):
+    """Invert the BWT for each row.  u: [K, N] uint8, returns [K, N] uint8.
+
+    ``segments`` parallel chain walkers per row; each walks
+    ceil((N+1)/segments) steps of [K, segments]-wide gathers.
+    Corrupted (length, index) pairs produce garbage bytes, never
+    out-of-bounds access — the block-level CRC rejects them
+    (src/libbz3.c:803).
+    """
+    k_dim, n = u.shape
+    m = n + 1  # sentinel slot
+    lens = lengths[:, None]
+    idxs = indices[:, None]
+    jj = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32), (k_dim, m))
+
+    # Sentinel-augmented string b: codes+1, 0 at `index`, pads sort last.
+    u_shift = jnp.concatenate([jnp.zeros((k_dim, 1), jnp.uint8), u], axis=1)
+    before = jnp.take_along_axis(
+        jnp.concatenate([u, jnp.zeros((k_dim, 1), jnp.uint8)], axis=1),
+        jnp.minimum(jj, n),
+        axis=1,
+    ).astype(jnp.int32)
+    after = u_shift.astype(jnp.int32)
+    b = jnp.where(jj < idxs, before + 1, jnp.where(jj == idxs, 0, after + 1))
+    b = jnp.where(jj <= lens, b, jnp.int32(0x1FF))
+
+    # LF map by one stable sort: order[r] = source row of sorted rank r,
+    # so lf[order[r]] = r.
+    _, order = jax.lax.sort((b, jj), num_keys=1, is_stable=True)
+    bidx = jnp.arange(k_dim)[:, None]
+    lf = jnp.zeros((k_dim, m), jnp.int32).at[bidx, order].set(jj)
+
+    seg = -(-m // segments)
+
+    # P = LF**seg by pointer doubling on the full permutation.
+    def compose(carry, bit):
+        p_acc, p_pow = carry
+        p_acc = jnp.where(bit, jnp.take_along_axis(p_pow, p_acc, axis=1), p_acc)
+        p_pow = jnp.take_along_axis(p_pow, p_pow, axis=1)
+        return (p_acc, p_pow), None
+
+    bits = [(seg >> i) & 1 for i in range(max(1, seg.bit_length()))]
+    ident = jj
+    (p_seg, _), _ = jax.lax.scan(
+        compose, (ident, lf), jnp.array(bits, dtype=bool)
+    )
+
+    # Entry points e_s = LF**(s*seg)(0): S sequential single-element jumps.
+    def entry_step(e, _):
+        nxt = jnp.take_along_axis(p_seg, e[:, None], axis=1)[:, 0]
+        return nxt, e
+
+    _, entries = jax.lax.scan(
+        entry_step, jnp.zeros((k_dim,), jnp.int32), None, length=segments
+    )
+    entries = entries.T  # [K, S]
+
+    # Walk all segments in lockstep, emitting b[i]-1 per step.
+    def walk(i_cur, _):
+        val = jnp.take_along_axis(b, i_cur, axis=1)
+        nxt = jnp.take_along_axis(lf, i_cur, axis=1)
+        return nxt, val
+
+    _, vals = jax.lax.scan(walk, entries, None, length=seg)  # [seg, K, S]
+    rev = vals.transpose(1, 2, 0).reshape(k_dim, segments * seg)  # t-ordered
+
+    # out[j] = rev[len - 1 - j] - 1 for j < len (the walk emits
+    # right-to-left); the first visited value is the sentinel's
+    # predecessor, i.e. rev[t] maps to out[len-1-t].
+    gather_idx = jnp.clip(lens - 1 - jj[:, :n], 0, segments * seg - 1)
+    out = jnp.take_along_axis(rev, gather_idx, axis=1) - 1
+    out = jnp.where(jj[:, :n] < lens, out, 0).astype(jnp.uint8)
+
+    tiny = lengths <= 1
+    out = jnp.where(tiny[:, None], u, out)
+    return out

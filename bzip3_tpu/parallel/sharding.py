@@ -1,0 +1,107 @@
+"""Multi-chip block parallelism.
+
+The reference's only parallelism is one pthread per block
+(bz3_encode_blocks / bz3_decode_blocks, src/libbz3.c:845-870).  The
+TPU-native equivalent shards the block-batch axis of the fixed-shape
+pipeline over a device mesh: every stage kernel is per-block
+independent, so ``shard_map`` over a 1-D ``dp`` mesh runs K/n blocks
+per chip with zero cross-chip traffic inside the stages; the only
+collective is a ``psum`` of per-chip compressed byte counts (the
+frame writer's bookkeeping), which rides ICI.
+
+Multi-host layout (pod slices): each host feeds its local shard of the
+block batch, the frame writer host reassembles ordered
+(lengths, padded payloads) — the all-gather of variable-length
+bitstreams is a gather of fixed ``bound()``-padded rows plus a length
+vector, per SURVEY.md §5.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.device.crc32 import crc32_batch
+from ..ops.device.bwt import bwt_forward_batch, bwt_inverse_batch
+from ..ops.device.cm import cm_encode_batch, cm_decode_batch
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D block-data-parallel mesh over the first n devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(devices, axis_names=("dp",))
+
+
+def sharded_encode_core(mesh: Mesh):
+    """shard_map'd encode stages; batch axis K must divide the mesh."""
+
+    def _core(orig, orig_lens, cur, cur_lens):
+        crc = crc32_batch(orig, orig_lens)
+        u, idx = bwt_forward_batch(cur, cur_lens)
+        payload, plens = cm_encode_batch(u, cur_lens)
+        # Frame bookkeeping: total compressed bytes across all chips.
+        total = jax.lax.psum(jnp.sum(plens), "dp")
+        return crc, idx, payload, plens, total
+
+    mapped = shard_map(
+        _core,
+        mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+        out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def sharded_decode_core(mesh: Mesh, out_width: int):
+    def _core(payload, payload_lens, sbb_lens, bwt_idx):
+        u = cm_decode_batch(payload, payload_lens, sbb_lens, out_width)
+        data = bwt_inverse_batch(u, sbb_lens, bwt_idx)
+        crc = crc32_batch(data, sbb_lens)
+        return data, crc
+
+    mapped = shard_map(
+        _core,
+        mesh=mesh,
+        in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+        out_specs=(P("dp"), P("dp")),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
+def sharded_pipeline(block_size: int, mesh: Mesh | None = None):
+    """A DevicePipeline whose device cores run shard_map'd over a mesh.
+
+    The caller must submit batches whose size is a multiple of the mesh
+    size (pad with empty blocks).
+    """
+    from ..pipeline import DevicePipeline
+
+    if mesh is None:
+        mesh = make_mesh()
+    pipe = DevicePipeline(block_size)
+    enc = sharded_encode_core(mesh)
+    dec_cache = {}
+
+    def encode_core_fn(orig, orig_lens, cur, cur_lens):
+        crc, idx, payload, plens, _total = enc(orig, orig_lens, cur, cur_lens)
+        return crc, idx, payload, plens
+
+    def decode_core_fn(payload, payload_lens, sbb_lens, bwt_idx, out_width):
+        if out_width not in dec_cache:
+            dec_cache[out_width] = sharded_decode_core(mesh, out_width)
+        data, _crc = dec_cache[out_width](payload, payload_lens, sbb_lens, bwt_idx)
+        return data
+
+    pipe.encode_core_fn = encode_core_fn
+    pipe.decode_core_fn = decode_core_fn
+    pipe.mesh = mesh
+    return pipe

@@ -1,0 +1,104 @@
+"""Device (JAX) stage kernels vs the NumPy oracles — bit-exactness.
+
+Runs on the CPU backend (see conftest.py); the same programs compile
+for TPU unchanged.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from bzip3_tpu.ops.ref.crc32 import crc32 as ref_crc
+from bzip3_tpu.ops.ref.bwt import bwt_forward as ref_bwt, bwt_inverse as ref_unbwt
+from bzip3_tpu.ops.ref.cm import cm_encode as ref_cm_enc, cm_decode as ref_cm_dec
+from bzip3_tpu.ops.device.crc32 import crc32_batch
+from bzip3_tpu.ops.device.bwt import bwt_forward_batch, bwt_inverse_batch
+from bzip3_tpu.ops.device.cm import cm_encode_batch, cm_decode_batch
+
+RNG = np.random.default_rng(42)
+
+
+def _batch(cases, width):
+    k = len(cases)
+    arr = np.zeros((k, width), dtype=np.uint8)
+    lens = np.array([len(c) for c in cases], dtype=np.int32)
+    for i, c in enumerate(cases):
+        arr[i, : len(c)] = np.frombuffer(c, dtype=np.uint8)
+    return jnp.asarray(arr), jnp.asarray(lens)
+
+
+@pytest.fixture(scope="module")
+def cases(text_data):
+    return [
+        b"",
+        b"a",
+        b"banana" * 40,
+        bytes(RNG.integers(0, 256, 511, dtype=np.uint8)),
+        bytes(RNG.integers(0, 4, 512, dtype=np.uint8)),
+        b"\x00" * 333,
+        text_data[:512],
+    ]
+
+
+def test_crc32_batch_matches_oracle(cases):
+    arr, lens = _batch(cases, 512)
+    out = np.asarray(crc32_batch(arr, lens))
+    for i, c in enumerate(cases):
+        assert int(out[i]) == ref_crc(c), i
+
+
+def test_bwt_forward_batch_matches_oracle(cases):
+    arr, lens = _batch(cases, 512)
+    u, idx = bwt_forward_batch(arr, lens)
+    u, idx = np.asarray(u), np.asarray(idx)
+    for i, c in enumerate(cases):
+        ru, ri = ref_bwt(c)
+        assert u[i, : len(c)].tobytes() == ru, i
+        assert int(idx[i]) == ri, i
+
+
+def test_bwt_inverse_batch_round_trip(cases):
+    arr, lens = _batch(cases, 512)
+    u, idx = bwt_forward_batch(arr, lens)
+    out = np.asarray(bwt_inverse_batch(u, lens, idx, segments=16))
+    for i, c in enumerate(cases):
+        assert out[i, : len(c)].tobytes() == c, i
+
+
+def test_bwt_inverse_matches_oracle_direction(cases):
+    # decode a stream the oracle produced (cross-engine compatibility)
+    c = cases[2]
+    ru, ri = ref_bwt(c)
+    arr, lens = _batch([ru], 512)
+    out = np.asarray(
+        bwt_inverse_batch(arr, lens, jnp.asarray(np.array([ri], np.int32)))
+    )
+    assert out[0, : len(c)].tobytes() == c
+    assert ref_unbwt(ru, ri) == c
+
+
+def test_cm_encode_batch_matches_oracle(cases):
+    arr, lens = _batch(cases, 512)
+    out, optr = cm_encode_batch(arr, lens)
+    out, optr = np.asarray(out), np.asarray(optr)
+    for i, c in enumerate(cases):
+        assert out[i, : optr[i]].tobytes() == ref_cm_enc(c), i
+
+
+def test_cm_decode_batch_matches_oracle(cases):
+    encs = [ref_cm_enc(c) for c in cases]
+    width = max(len(e) for e in encs)
+    arr, lens = _batch(encs, width)
+    out_lens = jnp.asarray(np.array([len(c) for c in cases], np.int32))
+    dec = np.asarray(cm_decode_batch(arr, lens, out_lens, 512))
+    for i, c in enumerate(cases):
+        assert dec[i, : len(c)].tobytes() == c, i
+
+
+def test_cm_cross_engine(cases):
+    # device-encoded stream decodes with the oracle decoder
+    c = cases[6]
+    arr, lens = _batch([c], 512)
+    out, optr = cm_encode_batch(arr, lens)
+    stream = np.asarray(out)[0, : int(optr[0])].tobytes()
+    assert ref_cm_dec(stream, len(c)) == c

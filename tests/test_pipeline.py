@@ -1,0 +1,64 @@
+"""Batched device pipeline and sharded (multi-chip) pipeline tests."""
+
+import numpy as np
+import pytest
+
+from bzip3_tpu.models.block_codec import encode_block, decode_block
+from bzip3_tpu.pipeline import DevicePipeline
+from bzip3_tpu.parallel.sharding import make_mesh, sharded_pipeline
+
+BS = 1024
+RNG = np.random.default_rng(7)
+
+
+@pytest.fixture(scope="module")
+def blocks(text_data):
+    return [
+        text_data[:BS],
+        bytes(RNG.integers(0, 256, BS, dtype=np.uint8)),
+        b"ab" * (BS // 2),
+        b"x" * 40,  # literal path (< 64 bytes)
+        text_data[BS : 2 * BS],
+        b"\x00" * BS,
+        bytes(RNG.integers(0, 16, 700, dtype=np.uint8)),
+        b"",
+    ]
+
+
+def test_device_pipeline_round_trip(blocks):
+    pipe = DevicePipeline(BS)
+    encoded = pipe.encode_blocks(blocks)
+    decoded = pipe.decode_blocks([(e, len(b)) for e, b in zip(encoded, blocks)])
+    assert decoded == list(blocks)
+
+
+def test_device_pipeline_matches_oracle_blocks(blocks):
+    """Device-encoded blocks decode through the oracle block codec and
+    produce identical bytes to oracle encoding (full bit parity)."""
+    pipe = DevicePipeline(BS)
+    encoded = pipe.encode_blocks(blocks)
+    for e, b in zip(encoded, blocks):
+        assert decode_block(e, len(b), BS) == b
+        assert encode_block(b) == e
+
+
+def test_oracle_blocks_decode_on_device(blocks):
+    pipe = DevicePipeline(BS)
+    encoded = [encode_block(b) for b in blocks]
+    decoded = pipe.decode_blocks([(e, len(b)) for e, b in zip(encoded, blocks)])
+    assert decoded == list(blocks)
+
+
+def test_sharded_pipeline_round_trip(blocks):
+    mesh = make_mesh(8)
+    pipe = sharded_pipeline(BS, mesh)
+    encoded = pipe.encode_blocks(blocks)  # len 8 == mesh size
+    decoded = pipe.decode_blocks([(e, len(b)) for e, b in zip(encoded, blocks)])
+    assert decoded == list(blocks)
+
+
+def test_sharded_matches_unsharded(blocks):
+    mesh = make_mesh(8)
+    assert sharded_pipeline(BS, mesh).encode_blocks(blocks) == DevicePipeline(
+        BS
+    ).encode_blocks(blocks)
