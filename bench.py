@@ -1,19 +1,24 @@
 #!/usr/bin/env python
-"""Benchmark: batched BZ3v1 encode+decode round trip on device.
+"""Benchmark: BZ3v1 encode+decode round trip (full pipeline).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 Baseline: the reference bzip3 does ~17 MiB/s encode and ~23 MiB/s
-decode per x64 thread (README.md:113), i.e. a single-thread
+decode per x64 thread (reference README.md:113) — a single-thread
 encode+decode round trip of 1/(1/17+1/23) = 9.78 MiB/s.  vs_baseline
-is our per-chip round-trip MiB/s over that number.
+is our round-trip MiB/s over that number.
 
-The corpus is deterministic text-like data (enwik-style mix of words,
-markup and numbers); blocks run the full device path (CRC32 + BWT +
-CM coder) batched as interleaved lanes.  RLE/LZP host pre-passes are
-disabled here so the measurement is the device path; they change ratio,
-not validity (model bits 0, src/libbz3.c:609-621).
+Engine selection (env BENCH_ENGINE):
+  native  — C++ host runtime, pthread block fan-out (default; the
+            byte-serial CM/LZP stages are host-native by design)
+  device  — JAX/XLA batched pipeline on the default backend (TPU)
+  sharded — device pipeline shard_map'd over all chips
+
+Corpus: deterministic enwik-style text (words + markup + numbers with
+moderate redundancy), env BENCH_MIB sets the size (default 64),
+BENCH_BLOCK_MIB the block size (default 16, i.e. the reference's
+`-b 16` headline config).
 """
 
 import json
@@ -25,48 +30,61 @@ import numpy as np
 
 
 def make_corpus(size: int, seed: int = 0) -> bytes:
-    """Deterministic enwik-like mix: words, XML-ish markup, numbers."""
+    """Deterministic text-like data with enwik-ish compressibility."""
     rng = np.random.default_rng(seed)
-    words = [
-        b"the", b"of", b"and", b"in", b"to", b"a", b"is", b"was", b"for",
-        b"article", b"wikipedia", b"category", b"http", b"reference",
-        b"[[", b"]]", b"{{", b"}}", b"<text>", b"</text>", b"<page>",
-        b"== ", b" ==\n", b"|", b"&quot;", b"1994", b"2003", b"&amp;",
-    ]
-    probs = rng.dirichlet(np.ones(len(words)) * 0.5)
-    idx = rng.choice(len(words), size=size // 4, p=probs)
+    vocab = []
+    # synthetic vocabulary with zipf-ish frequencies
+    letters = np.array(list(b"abcdefghijklmnopqrstuvwxyz"), dtype=np.uint8)
+    for i in range(4096):
+        ln = int(rng.integers(2, 11))
+        vocab.append(bytes(rng.choice(letters, ln)))
+    ranks = np.arange(1, len(vocab) + 1)
+    probs = (1.0 / ranks) / np.sum(1.0 / ranks)
+    markup = [b"<page>", b"</page>", b"[[", b"]]", b"{{", b"}}", b"==", b"&quot;"]
     parts = []
     total = 0
-    for i in idx:
-        w = words[i]
-        parts.append(w)
-        parts.append(b" ")
-        total += len(w) + 1
-        if total >= size:
+    idx = rng.choice(len(vocab), size=size // 5, p=probs)
+    punct = rng.integers(0, 100, size=size // 5)
+    for w, pn in zip(idx, punct):
+        parts.append(vocab[w])
+        if pn < 3:
+            parts.append(markup[pn % len(markup)])
+        elif pn < 6:
+            parts.append(b". ")
+        elif pn < 8:
+            parts.append(str(int(pn) * 251).encode())
+            parts.append(b" ")
+        else:
+            parts.append(b" ")
+        total += 8
+        if total >= size + 4096:
             break
     return b"".join(parts)[:size]
 
 
 def main():
-    block_size = 65536
-    size_mib = float(os.environ.get("BENCH_MIB", "4"))
-    n_bytes = int(size_mib * 1024 * 1024)
+    size_mib = float(os.environ.get("BENCH_MIB", "64"))
+    block_mib = float(os.environ.get("BENCH_BLOCK_MIB", "16"))
+    engine_name = os.environ.get("BENCH_ENGINE", "native")
+    block_size = int(block_mib * (1 << 20))
+    n_bytes = int(size_mib * (1 << 20))
+
     corpus = make_corpus(n_bytes)
+    from bzip3_tpu.engines import get_engine
 
-    from bzip3_tpu.pipeline import DevicePipeline
-
-    pipe = DevicePipeline(block_size, use_rle=False, use_lzp=False)
+    engine = get_engine(engine_name)
     blocks = [corpus[i : i + block_size] for i in range(0, len(corpus), block_size)]
+    pairs = lambda enc: [(e, len(b)) for e, b in zip(enc, blocks)]
 
-    # Warmup (compile both directions on the real shapes).
-    enc_w = pipe.encode_blocks(blocks)
-    dec_w = pipe.decode_blocks([(e, len(b)) for e, b in zip(enc_w, blocks)])
+    # Warmup (compiles device programs / first-touch native lib).
+    enc_w = engine.encode_blocks(blocks, block_size)
+    dec_w = engine.decode_blocks(pairs(enc_w), block_size)
     assert dec_w == blocks, "warmup round-trip mismatch"
 
     t0 = time.perf_counter()
-    encoded = pipe.encode_blocks(blocks)
+    encoded = engine.encode_blocks(blocks, block_size)
     t1 = time.perf_counter()
-    decoded = pipe.decode_blocks([(e, len(b)) for e, b in zip(encoded, blocks)])
+    decoded = engine.decode_blocks(pairs(encoded), block_size)
     t2 = time.perf_counter()
     assert decoded == blocks, "round-trip mismatch"
 
@@ -75,9 +93,9 @@ def main():
     rt_mibs = (n / (1 << 20)) / (enc_s + dec_s)
     comp = sum(len(e) for e in encoded)
 
-    baseline = 1.0 / (1.0 / 17.0 + 1.0 / 23.0)  # single-thread reference
+    baseline = 1.0 / (1.0 / 17.0 + 1.0 / 23.0)
     result = {
-        "metric": "bz3v1_roundtrip_64k_blocks",
+        "metric": f"bz3v1_roundtrip_b{int(block_mib)}_{engine.name}",
         "value": round(rt_mibs, 4),
         "unit": "MiB/s",
         "vs_baseline": round(rt_mibs / baseline, 4),
@@ -85,7 +103,7 @@ def main():
         "decode_MiBs": round((n / (1 << 20)) / dec_s, 4),
         "ratio": round(comp / n, 4),
         "corpus_MiB": round(n / (1 << 20), 2),
-        "backend": os.environ.get("JAX_PLATFORMS", "default"),
+        "engine": engine.name,
     }
     print(json.dumps(result))
 

@@ -129,10 +129,14 @@ def decompress_file(
     engine=_ref_engine,
     recover: bool = False,
     test_only: bool = False,
-    batch_decode: Callable[[list[tuple[bytes, int]]], list[bytes]] | None = None,
+    batch_decode: Callable[[list[tuple[bytes, int]], int], list[bytes]] | None = None,
     batch_size: int = 1,
 ) -> tuple[int, int]:
-    """Stream-decompress / test / recover; returns (read, written)."""
+    """Stream-decompress / test / recover; returns (read, written).
+
+    ``batch_decode(pairs, block_size)`` receives the block size parsed
+    from the file header (not a caller guess).
+    """
     block_size = read_file_header(inp, recover=recover)
     bytes_read = 9
     bytes_written = 0
@@ -147,7 +151,7 @@ def decompress_file(
         if not pending:
             return
         if batch_decode is not None:
-            results = batch_decode(list(pending))
+            results = batch_decode(list(pending), block_size)
         else:
             results = []
             for payload, osize in pending:

@@ -1,0 +1,95 @@
+"""Engine registry — pluggable block codec backends.
+
+Every engine exposes the same batch interface:
+
+    encode_blocks(blocks: list[bytes]) -> list[bytes]
+    decode_blocks(pairs: list[(block_bytes, orig_size)], block_size) -> list[bytes]
+
+Backends:
+
+- ``oracle``  — pure NumPy/Python stage codecs (ops.ref); slow, the
+  bit-exactness reference.
+- ``native``  — C++ host runtime (csrc/bz3n.cpp) with pthread
+  block-level fan-out; the fast host path.
+- ``device``  — JAX/XLA batched pipeline (ops.device) on the default
+  backend (TPU when present).
+- ``sharded`` — device pipeline shard_map'd over all visible chips.
+- ``auto``    — native if a C++ toolchain is available, else oracle.
+
+All engines produce bit-identical BZ3v1 streams (tests enforce this).
+"""
+
+from __future__ import annotations
+
+from .models.block_codec import encode_block, decode_block
+
+
+class OracleEngine:
+    name = "oracle"
+
+    def encode_blocks(self, blocks, block_size=None):
+        return [encode_block(b) for b in blocks]
+
+    def decode_blocks(self, pairs, block_size):
+        return [decode_block(b, osize, block_size) for b, osize in pairs]
+
+
+class NativeEngine:
+    name = "native"
+
+    def __init__(self, n_threads: int = 0):
+        from .ops import native as _native
+
+        _native._load()
+        self._native = _native
+        self.n_threads = n_threads
+
+    def encode_blocks(self, blocks, block_size=None):
+        return self._native.encode_blocks(blocks, self.n_threads)
+
+    def decode_blocks(self, pairs, block_size):
+        return self._native.decode_blocks(pairs, block_size, self.n_threads)
+
+
+class DeviceEngine:
+    name = "device"
+
+    def __init__(self, block_size: int | None = None, sharded: bool = False):
+        self._pipes = {}
+        self._sharded = sharded
+
+    def _pipe(self, block_size):
+        if block_size not in self._pipes:
+            if self._sharded:
+                from .parallel.sharding import sharded_pipeline
+
+                self._pipes[block_size] = sharded_pipeline(block_size)
+            else:
+                from .pipeline import DevicePipeline
+
+                self._pipes[block_size] = DevicePipeline(block_size)
+        return self._pipes[block_size]
+
+    def encode_blocks(self, blocks, block_size=None):
+        bs = block_size or max((len(b) for b in blocks), default=64)
+        return self._pipe(bs).encode_blocks(blocks)
+
+    def decode_blocks(self, pairs, block_size):
+        return self._pipe(block_size).decode_blocks(pairs)
+
+
+def get_engine(name: str = "auto", n_threads: int = 0):
+    if name == "auto":
+        try:
+            return NativeEngine(n_threads)
+        except Exception:
+            return OracleEngine()
+    if name == "oracle":
+        return OracleEngine()
+    if name == "native":
+        return NativeEngine(n_threads)
+    if name == "device":
+        return DeviceEngine()
+    if name == "sharded":
+        return DeviceEngine(sharded=True)
+    raise ValueError(f"unknown engine {name!r}")

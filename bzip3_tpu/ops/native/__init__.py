@@ -1,0 +1,194 @@
+"""Native (C++) host runtime bindings.
+
+Loads csrc/bz3n.cpp (compiled on demand to _build/libbz3n.so) via
+ctypes and exposes:
+
+- the scalar engine API (crc32, rle/lzp/bwt/cm encode+decode is fused
+  inside the native block codec, so the scalar API here is the block
+  level: encode_block / decode_block), and
+- the batched pthread APIs encode_blocks / decode_blocks, mirroring
+  bz3_encode_blocks / bz3_decode_blocks (reference: src/libbz3.c:845).
+
+The native runtime serves the byte-serial stages (CM, LZP) that do not
+map onto TPU vector lanes; the TPU engine (ops.device) owns the
+array-parallel stages.  Both produce bit-identical BZ3v1 streams.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(_HERE)))
+_SRC = os.path.join(_ROOT, "csrc", "bz3n.cpp")
+_BUILD_DIR = os.path.join(_ROOT, "_build")
+_SO = os.path.join(_BUILD_DIR, "libbz3n.so")
+
+_lock = threading.Lock()
+_lib = None
+
+
+def _compile():
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    cmd = [
+        os.environ.get("CXX", "g++"),
+        "-O3",
+        "-march=native",
+        "-fPIC",
+        "-shared",
+        "-pthread",
+        _SRC,
+        "-o",
+        _SO + ".tmp",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True)
+    os.replace(_SO + ".tmp", _SO)
+
+
+def _load():
+    global _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        need = not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+        if need:
+            _compile()
+        lib = ctypes.CDLL(_SO)
+        lib.bz3n_crc32.restype = ctypes.c_uint32
+        lib.bz3n_crc32.argtypes = [ctypes.c_char_p, ctypes.c_int32]
+        lib.bz3n_bound.restype = ctypes.c_int32
+        lib.bz3n_new_workspace.restype = ctypes.c_void_p
+        lib.bz3n_free_workspace.argtypes = [ctypes.c_void_p]
+        lib.bz3n_encode_block.restype = ctypes.c_int32
+        lib.bz3n_encode_block.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_int32,
+            ctypes.c_void_p,
+        ]
+        lib.bz3n_decode_block.restype = ctypes.c_int32
+        lib.bz3n_decode_block.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_void_p,
+        ]
+        _pp = ctypes.POINTER(ctypes.c_char_p)
+        _pi = ctypes.POINTER(ctypes.c_int32)
+        _ppu = ctypes.POINTER(ctypes.c_void_p)
+        lib.bz3n_encode_blocks.argtypes = [_pp, _pi, _ppu, _pi, ctypes.c_int32, ctypes.c_int32]
+        lib.bz3n_decode_blocks.argtypes = [
+            _pp, _pi, _pi, ctypes.c_int32, _ppu, _pi, ctypes.c_int32, ctypes.c_int32,
+        ]
+        _lib = lib
+        return lib
+
+
+def bound(n: int) -> int:
+    return n + n // 50 + 32
+
+
+def crc32(data, crc: int = 1) -> int:
+    if crc != 1:
+        raise NotImplementedError("native crc32 only supports init=1")
+    lib = _load()
+    b = bytes(data)
+    return lib.bz3n_crc32(b, len(b))
+
+
+class NativeCodec:
+    """Reusable native block codec (cf. bz3_state, src/libbz3.c:498)."""
+
+    def __init__(self, block_size: int):
+        self.block_size = block_size
+        self._lib = _load()
+        self._ws = self._lib.bz3n_new_workspace()
+
+    def __del__(self):
+        try:
+            self._lib.bz3n_free_workspace(self._ws)
+        except Exception:
+            pass
+
+    def encode_block(self, data: bytes) -> bytes:
+        out = ctypes.create_string_buffer(bound(len(data)) + 64)
+        r = self._lib.bz3n_encode_block(self._ws, data, len(data), out)
+        if r < 0:
+            raise RuntimeError(f"native encode failed: {r}")
+        return out.raw[:r]
+
+    def decode_block(self, block: bytes, orig_size: int) -> bytes:
+        out = ctypes.create_string_buffer(bound(self.block_size) + 64)
+        r = self._lib.bz3n_decode_block(
+            self._ws, block, len(block), orig_size, self.block_size, out
+        )
+        if r < 0:
+            from ...errors import Bz3Error, BZ3_ERR_CRC, BZ3_ERR_MALFORMED_HEADER, \
+                BZ3_ERR_BWT, BZ3_ERR_DATA_SIZE_TOO_SMALL
+            code = {
+                -1: BZ3_ERR_BWT,
+                -2: BZ3_ERR_MALFORMED_HEADER,
+                -3: BZ3_ERR_CRC,
+                -5: BZ3_ERR_DATA_SIZE_TOO_SMALL,
+            }.get(r, BZ3_ERR_MALFORMED_HEADER)
+            raise Bz3Error(code, f"native decode failed: {r}")
+        return out.raw[:r]
+
+
+def encode_blocks(blocks: list[bytes], n_threads: int = 0) -> list[bytes]:
+    """Parallel batch encode (pthread fan-out in native code)."""
+    lib = _load()
+    n = len(blocks)
+    if n == 0:
+        return []
+    ins = (ctypes.c_char_p * n)(*blocks)
+    lens = (ctypes.c_int32 * n)(*[len(b) for b in blocks])
+    outs_bufs = [ctypes.create_string_buffer(bound(len(b)) + 64) for b in blocks]
+    outs = (ctypes.c_void_p * n)(*[ctypes.addressof(o) for o in outs_bufs])
+    results = (ctypes.c_int32 * n)()
+    lib.bz3n_encode_blocks(ins, lens, outs, results, n, n_threads)
+    out = []
+    for i in range(n):
+        r = results[i]
+        if r < 0:
+            raise RuntimeError(f"native batch encode failed at {i}: {r}")
+        out.append(outs_bufs[i].raw[:r])
+    return out
+
+
+def decode_blocks(
+    blocks: list[tuple[bytes, int]], block_size: int, n_threads: int = 0
+) -> list[bytes]:
+    """Parallel batch decode of (block_bytes, orig_size) pairs."""
+    lib = _load()
+    n = len(blocks)
+    if n == 0:
+        return []
+    payloads = [b for b, _ in blocks]
+    ins = (ctypes.c_char_p * n)(*payloads)
+    in_lens = (ctypes.c_int32 * n)(*[len(b) for b in payloads])
+    orig_sizes = (ctypes.c_int32 * n)(*[o for _, o in blocks])
+    outs_bufs = [
+        ctypes.create_string_buffer(bound(block_size) + 64) for _ in blocks
+    ]
+    outs = (ctypes.c_void_p * n)(*[ctypes.addressof(o) for o in outs_bufs])
+    results = (ctypes.c_int32 * n)()
+    lib.bz3n_decode_blocks(
+        ins, in_lens, orig_sizes, block_size, outs, results, n, n_threads
+    )
+    out = []
+    for i in range(n):
+        r = results[i]
+        if r < 0:
+            from ...errors import Bz3Error, BZ3_ERR_CRC, BZ3_ERR_MALFORMED_HEADER
+            raise Bz3Error(
+                BZ3_ERR_CRC if r == -3 else BZ3_ERR_MALFORMED_HEADER,
+                f"native batch decode failed at {i}: {r}",
+            )
+        out.append(outs_bufs[i].raw[:r])
+    return out
