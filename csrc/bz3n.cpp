@@ -393,58 +393,71 @@ static void cm_decode(CmState *s, const u8 *in, s32 in_len, u8 *out, s32 size) {
 
 // ---------------------------------------------------------------- SA-IS
 // Suffix-array construction by induced sorting, from the algorithm of
-// Nong, Zhang & Chan (2009).  Works on s32 strings with a unique
-// smallest sentinel at the end (added by the caller wrappers).
+// Nong, Zhang & Chan (2009).  The working string is stored COMBINED:
+// Tc[j] = (value << 1) | type (type: 1 = S, 0 = L), so the induce
+// loops touch one array instead of two and level 0 fits in u16
+// (values are byte+1, sentinel 0).  Buckets are keyed on the combined
+// value: within equal raw values every L-suffix precedes every
+// S-suffix in the suffix array, which is exactly the (value<<1)|type
+// order, so combined bucketing is equivalent and branch-free.
 
-static void sais_get_counts(const s32 *T, s32 *cnt, s32 n, s32 K) {
-    memset(cnt, 0, sizeof(s32) * K);
-    for (s32 i = 0; i < n; i++) cnt[T[i]]++;
+template <typename C>
+static inline bool is_lms_at(const C *Tc, s32 i) {
+    return i > 0 && (Tc[i] & 1) && !(Tc[i - 1] & 1);
 }
 
-static void sais_buckets(const s32 *cnt, s32 *bkt, s32 K, bool end) {
-    s32 sum = 0;
-    for (s32 c = 0; c < K; c++) {
-        sum += cnt[c];
-        bkt[c] = end ? sum : sum - cnt[c];
+// One L-pass then one S-pass of induced sorting over combined buckets.
+template <typename C>
+static void sais_induce(const C *Tc, s32 *SA, s32 n, s32 K2, const s32 *cnt, s32 *bkt) {
+    // L-pass: bucket starts.
+    {
+        s32 sum = 0;
+        for (s32 c = 0; c < K2; c++) { bkt[c] = sum; sum += cnt[c]; }
+        for (s32 i = 0; i < n; i++) {
+            s32 j = SA[i];
+            if (j > 0) {
+                C c = Tc[j - 1];
+                if (!(c & 1)) SA[bkt[c]++] = j - 1;
+            }
+        }
+    }
+    // S-pass: bucket ends.
+    {
+        s32 sum = 0;
+        for (s32 c = 0; c < K2; c++) { sum += cnt[c]; bkt[c] = sum; }
+        for (s32 i = n - 1; i >= 0; i--) {
+            s32 j = SA[i];
+            if (j > 0) {
+                C c = Tc[j - 1];
+                if (c & 1) SA[--bkt[c]] = j - 1;
+            }
+        }
     }
 }
 
-// T has a unique sentinel T[n-1] == 0 (smallest).  SA gets the suffix
-// array of T (including the sentinel suffix at SA[0]).
-static void sais_main(const s32 *T, s32 *SA, s32 n, s32 K) {
-    std::vector<u8> types(n);  // 1 = S-type, 0 = L-type
-    types[n - 1] = 1;
-    for (s32 i = n - 2; i >= 0; i--)
-        types[i] = (T[i] < T[i + 1] || (T[i] == T[i + 1] && types[i + 1])) ? 1 : 0;
-    auto is_lms = [&](s32 i) { return i > 0 && types[i] && !types[i - 1]; };
+// Core on a combined string with unique smallest sentinel (Tc[n-1]
+// raw value 0, type S).  K2 = 2 * (max raw value + 1).
+template <typename C>
+static void sais_core(const C *Tc, s32 *SA, s32 n, s32 K2) {
+    std::vector<s32> cnt(K2), bkt(K2);
+    memset(cnt.data(), 0, sizeof(s32) * K2);
+    for (s32 i = 0; i < n; i++) cnt[Tc[i]]++;
 
-    std::vector<s32> cnt(K), bkt(K);
-    sais_get_counts(T, cnt.data(), n, K);
-
-    // Step 1: induce-sort LMS substrings.
+    // Step 1: place LMS suffixes at combined-bucket ends, induce.
     memset(SA, -1, sizeof(s32) * n);
-    sais_buckets(cnt.data(), bkt.data(), K, true);
-    for (s32 i = n - 1; i >= 1; i--)
-        if (is_lms(i)) SA[--bkt[T[i]]] = i;
-    // induce L
-    sais_buckets(cnt.data(), bkt.data(), K, false);
-    for (s32 i = 0; i < n; i++) {
-        s32 j = SA[i];
-        if (j > 0 && !types[j - 1]) SA[bkt[T[j - 1]]++] = j - 1;
+    {
+        s32 sum = 0;
+        for (s32 c = 0; c < K2; c++) { sum += cnt[c]; bkt[c] = sum; }
+        for (s32 i = n - 1; i >= 1; i--)
+            if (is_lms_at(Tc, i)) SA[--bkt[Tc[i]]] = i;
     }
-    // induce S
-    sais_buckets(cnt.data(), bkt.data(), K, true);
-    for (s32 i = n - 1; i >= 0; i--) {
-        s32 j = SA[i];
-        if (j > 0 && types[j - 1]) SA[--bkt[T[j - 1]]] = j - 1;
-    }
+    sais_induce(Tc, SA, n, K2, cnt.data(), bkt.data());
 
     // Step 2: name sorted LMS substrings.
     s32 n_lms = 0;
     for (s32 i = 0; i < n; i++)
-        if (SA[i] >= 0 && is_lms(SA[i])) SA[n_lms++] = SA[i];
-    // use upper part of SA as name array
-    s32 *names = SA + n_lms;
+        if (SA[i] >= 0 && is_lms_at(Tc, SA[i])) SA[n_lms++] = SA[i];
+    s32 *names = SA + n_lms;  // upper part of SA reused
     memset(names, -1, sizeof(s32) * (n - n_lms));
     s32 name = 0, prev = -1;
     for (s32 r = 0; r < n_lms; r++) {
@@ -453,13 +466,9 @@ static void sais_main(const s32 *T, s32 *SA, s32 n, s32 K) {
         if (prev < 0) diff = true;
         else {
             for (s32 d = 0;; d++) {
-                if (T[pos + d] != T[prev + d] || types[pos + d] != types[prev + d]) {
-                    diff = true;
-                    break;
-                }
-                if (d > 0 && (is_lms(pos + d) || is_lms(prev + d))) {
-                    // both reached next LMS with equal content
-                    diff = !(is_lms(pos + d) && is_lms(prev + d));
+                if (Tc[pos + d] != Tc[prev + d]) { diff = true; break; }
+                if (d > 0 && (is_lms_at(Tc, pos + d) || is_lms_at(Tc, prev + d))) {
+                    diff = !(is_lms_at(Tc, pos + d) && is_lms_at(Tc, prev + d));
                     break;
                 }
             }
@@ -468,57 +477,68 @@ static void sais_main(const s32 *T, s32 *SA, s32 n, s32 K) {
         names[pos / 2] = name - 1;
     }
 
-    if (name < n_lms) {
-        // Step 3: recurse on the reduced string of LMS names.
-        std::vector<s32> red(n_lms), lms_pos(n_lms);
+    std::vector<s32> lms_pos(n_lms);
+    {
         s32 w = 0;
         for (s32 i = 0; i < n; i++)
-            if (is_lms(i)) lms_pos[w++] = i;
-        for (s32 i = 0; i < n_lms; i++) red[i] = names[lms_pos[i] / 2];
-        std::vector<s32> red_sa(n_lms);
-        // reduced string already ends with the sentinel's LMS (pos n-1),
-        // which has the unique smallest name 0? Not guaranteed unique —
-        // append explicit sentinel.
-        std::vector<s32> red2(n_lms + 1);
-        for (s32 i = 0; i < n_lms; i++) red2[i] = red[i] + 1;
-        red2[n_lms] = 0;
-        std::vector<s32> red2_sa(n_lms + 1);
-        sais_main(red2.data(), red2_sa.data(), n_lms + 1, name + 1);
-        for (s32 i = 1; i <= n_lms; i++) red_sa[i - 1] = red2_sa[i];
-        // map back: sorted LMS positions
-        for (s32 i = 0; i < n_lms; i++) SA[i] = lms_pos[red_sa[i]];
+            if (is_lms_at(Tc, i)) lms_pos[w++] = i;
+    }
+
+    if (name < n_lms) {
+        // Step 3: recurse on the reduced string of LMS names.
+        // Build the reduced combined string (values name+1, sentinel 0).
+        s32 rn = n_lms + 1;
+        std::vector<s32> red_raw(rn);
+        for (s32 i = 0; i < n_lms; i++) red_raw[i] = names[lms_pos[i] / 2] + 1;
+        red_raw[rn - 1] = 0;
+        std::vector<u32> redc(rn);
+        {
+            u8 t = 1;
+            redc[rn - 1] = 1;  // (0<<1)|S
+            for (s32 i = rn - 2; i >= 0; i--) {
+                t = (red_raw[i] < red_raw[i + 1] || (red_raw[i] == red_raw[i + 1] && t)) ? 1 : 0;
+                redc[i] = ((u32)red_raw[i] << 1) | t;
+            }
+        }
+        std::vector<s32> red_sa(rn);
+        sais_core(redc.data(), red_sa.data(), rn, 2 * (name + 2));
+        // red_sa[0] is the reduced sentinel; map the rest back.
+        for (s32 i = 1; i < rn; i++) SA[i - 1] = lms_pos[red_sa[i]];
     }
     // else: SA[0..n_lms) already holds LMS positions in sorted order.
 
     // Step 4: final induced sort from sorted LMS positions.
     std::vector<s32> lms_sorted(SA, SA + n_lms);
     memset(SA, -1, sizeof(s32) * n);
-    sais_buckets(cnt.data(), bkt.data(), K, true);
-    for (s32 r = n_lms - 1; r >= 0; r--) {
-        s32 i = lms_sorted[r];
-        SA[--bkt[T[i]]] = i;
+    {
+        s32 sum = 0;
+        for (s32 c = 0; c < K2; c++) { sum += cnt[c]; bkt[c] = sum; }
+        for (s32 r = n_lms - 1; r >= 0; r--) {
+            s32 i = lms_sorted[r];
+            SA[--bkt[Tc[i]]] = i;
+        }
     }
-    sais_buckets(cnt.data(), bkt.data(), K, false);
-    for (s32 i = 0; i < n; i++) {
-        s32 j = SA[i];
-        if (j > 0 && !types[j - 1]) SA[bkt[T[j - 1]]++] = j - 1;
-    }
-    sais_buckets(cnt.data(), bkt.data(), K, true);
-    for (s32 i = n - 1; i >= 0; i--) {
-        s32 j = SA[i];
-        if (j > 0 && types[j - 1]) SA[--bkt[T[j - 1]]] = j - 1;
-    }
+    sais_induce(Tc, SA, n, K2, cnt.data(), bkt.data());
 }
 
 // Suffix array of a byte string (no sentinel in input).
 static void suffix_array_u8(const u8 *T, s32 *SA_out, s32 n) {
     if (n <= 0) return;
-    std::vector<s32> T2(n + 1);
-    for (s32 i = 0; i < n; i++) T2[i] = (s32)T[i] + 1;
-    T2[n] = 0;
-    std::vector<s32> SA(n + 1);
-    sais_main(T2.data(), SA.data(), n + 1, 257);
-    for (s32 i = 1; i <= n; i++) SA_out[i - 1] = SA[i];
+    s32 m = n + 1;
+    std::vector<u16> Tc(m);
+    {
+        u8 t = 1;
+        Tc[m - 1] = 1;  // sentinel: value 0, S-type
+        for (s32 i = n - 1; i >= 0; i--) {
+            u16 v = (u16)T[i] + 1;
+            u16 nv = (i + 1 < n) ? (u16)T[i + 1] + 1 : 0;
+            t = (v < nv || (v == nv && t)) ? 1 : 0;
+            Tc[i] = (u16)((v << 1) | t);
+        }
+    }
+    std::vector<s32> SA(m);
+    sais_core(Tc.data(), SA.data(), m, 2 * 258);
+    for (s32 i = 1; i < m; i++) SA_out[i - 1] = SA[i];
 }
 
 // ---------------------------------------------------------------- BWT
@@ -543,31 +563,79 @@ extern "C" s32 bz3n_bwt_forward(const u8 *in, u8 *out, s32 n, s32 *scratch) {
     return p + 1;
 }
 
-extern "C" s32 bz3n_bwt_inverse(const u8 *in, u8 *out, s32 n, s32 index, s32 *scratch) {
+extern "C" s32 bz3n_bwt_inverse_ex(const u8 *in, u8 *out, s32 n, s32 index, s32 *scratch,
+                                   int64_t scratch_words) {
     if (n <= 1) {
         if (n == 1) out[0] = in[0];
         return index == n ? 0 : -1;
     }
     if (index <= 0 || index > n) return -1;
-    // counting sort of sentinel-augmented string; LF walk.
-    s32 *lf = scratch;              // n+1 entries
+    // Counting sort of the sentinel-augmented string, then an LF-chain
+    // walk.  For blocks < 2^23 the symbol and the LF pointer pack into
+    // one u32 node (pointer<<8 | symbol): the walk touches a single
+    // array with one cache miss per emitted byte and no branches —
+    // the same idea as libsais' packed biPSI entries, reimplemented.
     s32 cnt[257];
     memset(cnt, 0, sizeof cnt);
-    // b[j]: j<index -> in[j]+1 ; j==index -> 0 ; j>index -> in[j-1]+1
     cnt[0] = 1;
     for (s32 j = 0; j < n; j++) cnt[in[j] + 1]++;
     s32 start[257];
     s32 sum = 0;
     for (s32 c = 0; c < 257; c++) { start[c] = sum; sum += cnt[c]; }
-    for (s32 j = 0; j <= n; j++) {
-        s32 b = (j < index) ? in[j] + 1 : (j == index) ? 0 : in[j - 1] + 1;
-        lf[j] = start[b]++;
-    }
-    s32 i = 0;
-    for (s32 k = n - 1; k >= 0; k--) {
-        s32 b = (i < index) ? in[i] + 1 : (i == index) ? 0 : in[i - 1] + 1;
-        out[k] = (u8)(b - 1);
-        i = lf[i];
+
+    if (n + 1 < (1 << 24) && scratch_words >= 3 * (int64_t)(n + 2) + 2) {
+        u32 *node = (u32 *)scratch;  // n+1 u32 entries
+        for (s32 j = 0; j < index; j++) node[j] = ((u32)start[in[j] + 1]++ << 8) | in[j];
+        node[index] = (u32)start[0]++ << 8;  // sentinel (symbol unused)
+        for (s32 j = index + 1; j <= n; j++)
+            node[j] = ((u32)start[in[j - 1] + 1]++ << 8) | in[j - 1];
+        // Pair-merge: pre-compose two LF steps per node so the serial
+        // walk takes one dependent cache miss per TWO bytes (the build
+        // gathers are independent, so they overlap in the MLP window).
+        u64 *pair = (u64 *)(((uintptr_t)(node + n + 2) + 7) & ~(uintptr_t)7);
+        for (s32 j = 0; j + 7 <= n; j += 8) {
+            for (s32 q = 0; q < 8; q++) {
+                u32 v = node[j + q];
+                u32 w = node[v >> 8];
+                pair[j + q] = ((u64)(w >> 8) << 16) | ((w & 0xFF) << 8) | (v & 0xFF);
+            }
+        }
+        for (s32 j = n & ~7; j <= n; j++) {
+            u32 v = node[j];
+            u32 w = node[v >> 8];
+            pair[j] = ((u64)(w >> 8) << 16) | ((w & 0xFF) << 8) | (v & 0xFF);
+        }
+        s32 k = n - 1;
+        u64 i = pair[0];
+        while (k >= 1) {
+            out[k] = (u8)i;
+            out[k - 1] = (u8)(i >> 8);
+            k -= 2;
+            i = pair[i >> 16];
+        }
+        if (k == 0) out[0] = (u8)i;
+    } else if (n + 1 < (1 << 24)) {
+        u32 *node = (u32 *)scratch;
+        for (s32 j = 0; j < index; j++) node[j] = ((u32)start[in[j] + 1]++ << 8) | in[j];
+        node[index] = (u32)start[0]++ << 8;
+        for (s32 j = index + 1; j <= n; j++)
+            node[j] = ((u32)start[in[j - 1] + 1]++ << 8) | in[j - 1];
+        u32 i = node[0];
+        for (s32 k = n - 1; k >= 0; k--) {
+            out[k] = (u8)i;
+            i = node[i >> 8];
+        }
+    } else {
+        u64 *node = (u64 *)scratch;  // n+1 u64 entries (scratch is 2x)
+        for (s32 j = 0; j < index; j++) node[j] = ((u64)start[in[j] + 1]++ << 8) | in[j];
+        node[index] = (u64)start[0]++ << 8;
+        for (s32 j = index + 1; j <= n; j++)
+            node[j] = ((u64)start[in[j - 1] + 1]++ << 8) | in[j - 1];
+        u64 i = node[0];
+        for (s32 k = n - 1; k >= 0; k--) {
+            out[k] = (u8)i;
+            i = node[i >> 8];
+        }
     }
     return 0;
 }
@@ -586,7 +654,11 @@ struct Workspace {
         if (swap1.size() < cap) {
             swap1.resize(cap);
             swap2.resize(cap);
-            sa.resize(cap + 16);
+            // 2x for the u64 packed-node inverse-BWT path on big
+            // blocks; 3x when the pair-merge walk applies (<= 16 MiB
+            // blocks) since it keeps node (u32) + pair (u64) arrays.
+            size_t mult = (block_size + 1 < (1 << 24)) ? 3 : 2;
+            sa.resize(mult * (cap + 16));
         }
         if (lzp_lut.empty()) lzp_lut.resize((size_t)1 << LZP_BITS);
     }
@@ -681,7 +753,8 @@ static s32 decode_block_ws(Workspace &ws, const u8 *in, s32 in_len, s32 orig_siz
 
     cm_begin(&ws.cm);
     cm_decode(&ws.cm, in + off, in_len - off, b1, sbb);
-    if (bz3n_bwt_inverse(b1, b2, sbb, idx, ws.sa.data()) != 0) return -1;
+    if (bz3n_bwt_inverse_ex(b1, b2, sbb, idx, ws.sa.data(), (int64_t)ws.sa.size()) != 0)
+        return -1;
 
     const u8 *cur = b2;
     s32 cur_n = sbb;
@@ -791,6 +864,11 @@ extern "C" void bz3n_decode_blocks(const u8 **ins, const s32 *in_lens,
     for (s32 t = 0; t < n_threads; t++) pthread_create(&th[t], nullptr, worker, &pool);
     for (s32 t = 0; t < n_threads; t++) pthread_join(th[t], nullptr);
     for (s32 i = 0; i < n; i++) results[i] = jobs[i].result;
+}
+
+extern "C" s32 bz3n_bwt_inverse(const u8 *in, u8 *out, s32 n, s32 index, s32 *scratch) {
+    // compatibility entry: assumes the 2x scratch contract (u64 path)
+    return bz3n_bwt_inverse_ex(in, out, n, index, scratch, 2 * (int64_t)(n + 16));
 }
 
 extern "C" s32 bz3n_bound(s32 n) { return bz3_bound(n); }
