@@ -35,7 +35,13 @@ from .errors import (
     Bz3Error,
     strerror,
 )
-from .container.bound import bound, min_memory_needed, BLOCK_SIZE_MIN, BLOCK_SIZE_MAX
+from .container.bound import (
+    bound,
+    min_memory_needed,
+    orig_size_sufficient_for_decode,
+    BLOCK_SIZE_MIN,
+    BLOCK_SIZE_MAX,
+)
 from .models.block_codec import Bz3Codec
 from .container.frame import compress, decompress
 from .container.stream import (
@@ -56,6 +62,7 @@ __all__ = [
     "Bz3Codec",
     "bound",
     "min_memory_needed",
+    "orig_size_sufficient_for_decode",
     "BLOCK_SIZE_MIN",
     "BLOCK_SIZE_MAX",
     "Bz3Error",

@@ -49,3 +49,40 @@ def min_memory_needed(block_size: int) -> int:
     # CM model tables: C0 (256 u16) + C1 (256*256 u16) + C2 (512*17 u16)
     total += (256 + 256 * 256 + 512 * 17) * 2
     return total
+
+
+def orig_size_sufficient_for_decode(block: bytes, orig_size: int) -> int:
+    """Whether an ``orig_size``-sized buffer suffices to decode ``block``.
+
+    Mirrors bz3_orig_size_sufficient_for_decode (src/libbz3.c:1025-1055)
+    including its quirks: returns -1 on malformed/short headers, 1 when
+    sufficient, 0 when not.  Note the reference computes the needed
+    header length as ``9 + (model & 2) * 4 + (model & 4) * 4`` — i.e. 8
+    and 16 extra bytes rather than 4 and 4 — which we reproduce for
+    behavioural parity.
+    """
+    import struct
+
+    if len(block) < 9:
+        return -1
+    bwt_idx = struct.unpack_from("<i", block, 4)[0]
+    if bwt_idx == -1:
+        return 1
+    model = block[8]
+    needed = 9 + (model & 2) * 4 + (model & 4) * 4
+    if len(block) < needed:
+        return -1
+    off = 9
+    lzp_size = rle_size = -1
+    if model & 2:
+        lzp_size = struct.unpack_from("<i", block, off)[0]
+        off += 4
+    if model & 4:
+        rle_size = struct.unpack_from("<i", block, off)[0]
+    eff = lambda v: 0 if v < 0 else v
+    ok = (
+        eff(lzp_size) <= orig_size
+        and eff(rle_size) <= orig_size
+        and eff(orig_size) <= orig_size
+    )
+    return 1 if ok else 0

@@ -26,8 +26,8 @@ from .crc32 import crc32_batch, crc32
 from .bwt import bwt_forward_batch, bwt_inverse_batch
 from .cm import cm_encode_batch, cm_decode_batch
 
-from ..ref.lzp import lzp_encode, lzp_decode  # host pass (for now)
-from ..ref.rle import rle_encode, rle_decode  # host pass (for now)
+from .rle import rle_encode_batch, rle_decode_batch
+from ..ref.lzp import lzp_encode, lzp_decode  # host pass (see module docstring)
 
 __all__ = [
     "crc32_batch",
@@ -95,4 +95,27 @@ def cm_decode(data: bytes, out_len: int) -> bytes:
     out = cm_decode_batch(
         arr, lens, jnp.asarray(np.array([out_len], np.int32)), w
     )
+    return np.asarray(out)[0, :out_len].tobytes()
+
+
+def rle_encode(data: bytes) -> bytes:
+    arr, lens = _pad1(data)
+    out, olen = rle_encode_batch(arr, lens)
+    n = int(olen[0])
+    if n > out.shape[1]:
+        # Expanding stream truncated by the fixed output width; callers
+        # only use RLE when it shrinks, so return an expanding marker
+        # of the true length (matches mrlec gain semantics).
+        return b"\x00" * n
+    return np.asarray(out)[0, :n].tobytes()
+
+
+def rle_decode(data: bytes, out_len: int) -> bytes | None:
+    w = _bucket(max(1, out_len))
+    arr, lens = _pad1(data)
+    out, ok = rle_decode_batch(
+        arr, lens, jnp.asarray(np.array([out_len], np.int32)), w
+    )
+    if not bool(ok[0]):
+        return None
     return np.asarray(out)[0, :out_len].tobytes()

@@ -102,3 +102,57 @@ def test_cm_cross_engine(cases):
     out, optr = cm_encode_batch(arr, lens)
     stream = np.asarray(out)[0, : int(optr[0])].tobytes()
     assert ref_cm_dec(stream, len(c)) == c
+
+
+# ---------------------------------------------------------------- RLE
+
+from bzip3_tpu.ops.ref.rle import rle_encode as ref_rle_enc, rle_decode as ref_rle_dec
+from bzip3_tpu.ops.device.rle import rle_encode_batch, rle_decode_batch
+
+
+@pytest.fixture(scope="module")
+def rle_cases(text_data):
+    return [
+        b"",
+        b"aaaa",
+        b"aaaabbbbccccd" * 30,
+        b"\x00" * 500,
+        bytes(RNG.integers(0, 4, 509, dtype=np.uint8)),
+        bytes(RNG.integers(0, 256, 512, dtype=np.uint8)),
+        b"x" * 300 + b"yz" + b"x" * 200,
+        text_data[:512],
+    ]
+
+
+def test_rle_encode_batch_matches_oracle(rle_cases):
+    arr, lens = _batch(rle_cases, 512)
+    out, olen = rle_encode_batch(arr, lens)
+    out, olen = np.asarray(out), np.asarray(olen)
+    for i, c in enumerate(rle_cases):
+        r = ref_rle_enc(c)
+        assert int(olen[i]) == len(r), i
+        if olen[i] <= out.shape[1]:
+            assert out[i, : olen[i]].tobytes() == r, i
+
+
+def test_rle_decode_batch_matches_oracle(rle_cases):
+    encs = [ref_rle_enc(c) for c in rle_cases]
+    width = max(len(e) for e in encs)
+    arr, lens = _batch(encs, width)
+    out_lens = jnp.asarray(np.array([len(c) for c in rle_cases], np.int32))
+    dec, ok = rle_decode_batch(arr, lens, out_lens, 512)
+    dec, ok = np.asarray(dec), np.asarray(ok)
+    for i, c in enumerate(rle_cases):
+        assert bool(ok[i]), i
+        assert dec[i, : len(c)].tobytes() == c, i
+
+
+def test_rle_decode_truncation_parity(rle_cases):
+    full = ref_rle_enc(rle_cases[2])
+    for cut in [0, 10, 31, 32, len(full) // 2, len(full) - 1]:
+        tr = full[:cut]
+        arr, lens = _batch([tr], max(64, len(full)))
+        _, ok = rle_decode_batch(
+            arr, lens, jnp.asarray(np.array([len(rle_cases[2])], np.int32)), 512
+        )
+        assert bool(ok[0]) == (ref_rle_dec(tr, len(rle_cases[2])) is not None), cut
