@@ -22,7 +22,17 @@ the Pallas in-VMEM kernel lands; see SURVEY.md §7.2.
 import numpy as np
 import jax.numpy as jnp
 
+import jax as _jax
+
 from .crc32 import crc32_batch, crc32
+from .crc32_pallas import crc32_batch_pallas
+
+
+def crc32_batch_auto(data, lengths):
+    """Pallas kernel on TPU backends, XLA lane scan elsewhere."""
+    if _jax.default_backend() not in ("cpu",):
+        return crc32_batch_pallas(data, lengths)
+    return crc32_batch(data, lengths)
 from .bwt import bwt_forward_batch, bwt_inverse_batch
 from .cm import cm_encode_batch, cm_decode_batch
 

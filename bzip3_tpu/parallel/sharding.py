@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..ops.device.crc32 import crc32_batch
+from ..ops.device import crc32_batch_auto as crc32_batch
 from ..ops.device.bwt import bwt_forward_batch, bwt_inverse_batch
 from ..ops.device.cm import cm_encode_batch, cm_decode_batch
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from .container.bound import bound, SMALL_BLOCK_THRESHOLD
 from .errors import Bz3Error, BZ3_ERR_BWT, BZ3_ERR_CRC, BZ3_ERR_MALFORMED_HEADER
 from .models.block_codec import parse_block_header
-from .ops.device.crc32 import crc32_batch
+from .ops.device import crc32_batch_auto as crc32_batch
 from .ops.device.bwt import bwt_forward_batch, bwt_inverse_batch
 from .ops.device.cm import cm_encode_batch, cm_decode_batch
 from .ops.ref.lzp import lzp_encode, lzp_decode

@@ -156,3 +156,19 @@ def test_rle_decode_truncation_parity(rle_cases):
             arr, lens, jnp.asarray(np.array([len(rle_cases[2])], np.int32)), 512
         )
         assert bool(ok[0]) == (ref_rle_dec(tr, len(rle_cases[2])) is not None), cut
+
+
+# ------------------------------------------------------- Pallas CRC32
+
+def test_crc32_pallas_interpret_matches_oracle():
+    from bzip3_tpu.ops.device.crc32_pallas import crc32_batch_pallas
+
+    cases = [
+        bytes(RNG.integers(0, 256, 1000, dtype=np.uint8)),
+        b"",
+        bytes(RNG.integers(0, 256, 300, dtype=np.uint8)),
+    ]
+    arr, lens = _batch(cases, 1000)
+    out = np.asarray(crc32_batch_pallas(arr, lens, lanes=128, interpret=True))
+    for i, c in enumerate(cases):
+        assert int(out[i]) == ref_crc(c), i
