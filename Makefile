@@ -1,0 +1,34 @@
+# Development targets (cf. the reference's Makefile.am:60-84).
+
+CXX ?= g++
+CXXFLAGS ?= -O3 -march=native -fPIC -shared -pthread
+PY ?= python
+
+.PHONY: all native test roundtrip bench clean cloc
+
+all: native
+
+native: _build/libbz3n.so
+
+_build/libbz3n.so: csrc/bz3n.cpp
+	mkdir -p _build
+	$(CXX) $(CXXFLAGS) $< -o $@
+
+test: native
+	$(PY) -m pytest tests/ -q
+
+# Round-trip the repo's own survey through the CLI and compare
+# (cf. `make roundtrip` compressing LICENSE, reference Makefile.am:72).
+roundtrip: native
+	$(PY) -m bzip3_tpu -e -b 1 -c SURVEY.md > /tmp/bz3t_rt.bz3
+	$(PY) -m bzip3_tpu -d -c /tmp/bz3t_rt.bz3 | cmp - SURVEY.md
+	@echo roundtrip OK
+
+bench: native
+	$(PY) bench.py
+
+clean:
+	rm -rf _build __pycache__ bzip3_tpu/__pycache__
+
+cloc:
+	@command -v cloc >/dev/null && cloc bzip3_tpu csrc tests || wc -l bzip3_tpu/**/*.py csrc/*.cpp

@@ -15,6 +15,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Some accelerator plugins force jax_platforms at import, overriding
+# the env var — pin the config explicitly so the suite always runs on
+# an 8-device virtual CPU mesh.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 sys.path.insert(0, os.path.dirname(__file__))
 
 import pytest  # noqa: E402

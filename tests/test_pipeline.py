@@ -62,3 +62,19 @@ def test_sharded_matches_unsharded(blocks):
     assert sharded_pipeline(BS, mesh).encode_blocks(blocks) == DevicePipeline(
         BS
     ).encode_blocks(blocks)
+
+
+def test_multihost_helpers_single_process():
+    """Single-process degradation of the multi-host layer."""
+    import numpy as np
+    from bzip3_tpu.parallel import multihost as mh
+
+    mh.initialize()  # no-op without coordinator
+    mesh = mh.global_mesh()
+    assert mesh.devices.size == 8
+    assert list(mh.host_stripe(5)) == [0, 1, 2, 3, 4]
+    rows = np.arange(16 * 4, dtype=np.int32).reshape(16, 4)
+    g = mh.make_global_batch(mesh, rows)
+    assert g.shape == (16, 4)
+    p, l = mh.gather_to_writer(g, np.arange(16, dtype=np.int32))
+    assert (p == rows).all() and (l == np.arange(16)).all()
