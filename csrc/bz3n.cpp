@@ -27,6 +27,9 @@ typedef uint16_t u16;
 typedef uint32_t u32;
 typedef int32_t s32;
 typedef uint64_t u64;
+#ifndef BZ3N_PF
+#define BZ3N_PF 0
+#endif
 
 // ---------------------------------------------------------------- crc32
 // Reflected CRC-32C, init 1, no final xor (reference: src/libbz3.c:37-72).
@@ -409,11 +412,21 @@ static inline bool is_lms_at(const C *Tc, s32 i) {
 // One L-pass then one S-pass of induced sorting over combined buckets.
 template <typename C>
 static void sais_induce(const C *Tc, s32 *SA, s32 n, s32 K2, const s32 *cnt, s32 *bkt) {
+    // Short-distance prefetch of the dependent Tc[SA[i+d]-1] load: in
+    // the L-pass entries a few slots ahead are usually already
+    // written (either LMS seeds or L-inductions that land forward).
+    const s32 PF = BZ3N_PF;  // 0 disables; prefetch helps single-thread
+                             // (~20%% at 16) but competes for memory
+                             // bandwidth when blocks decode in parallel
     // L-pass: bucket starts.
     {
         s32 sum = 0;
         for (s32 c = 0; c < K2; c++) { bkt[c] = sum; sum += cnt[c]; }
         for (s32 i = 0; i < n; i++) {
+            if (PF && i + PF < n) {
+                s32 jp = SA[i + PF];
+                if (jp > 0) __builtin_prefetch(&Tc[jp - 1]);
+            }
             s32 j = SA[i];
             if (j > 0) {
                 C c = Tc[j - 1];
@@ -426,6 +439,10 @@ static void sais_induce(const C *Tc, s32 *SA, s32 n, s32 K2, const s32 *cnt, s32
         s32 sum = 0;
         for (s32 c = 0; c < K2; c++) { sum += cnt[c]; bkt[c] = sum; }
         for (s32 i = n - 1; i >= 0; i--) {
+            if (PF && i - PF >= 0) {
+                s32 jp = SA[i - PF];
+                if (jp > 0) __builtin_prefetch(&Tc[jp - 1]);
+            }
             s32 j = SA[i];
             if (j > 0) {
                 C c = Tc[j - 1];
