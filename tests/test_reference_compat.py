@@ -36,3 +36,63 @@ def test_encode_matches_reference_mixed(golden_mixed_bz3, mixed_data):
     buf = io.BytesIO()
     compress_file(io.BytesIO(mixed_data), buf, block_size=1024 * 1024)
     assert buf.getvalue() == golden_mixed_bz3
+
+
+def test_native_engine_decodes_golden(golden_text_bz3, text_data):
+    import shutil, pytest
+
+    if shutil.which("g++") is None:
+        pytest.skip("no C++ toolchain")
+    import io
+    from bzip3_tpu.engines import get_engine
+
+    out = io.BytesIO()
+    eng = get_engine("native")
+    decompress_file(
+        io.BytesIO(golden_text_bz3),
+        out,
+        batch_decode=lambda pairs, bs: eng.decode_blocks(pairs, bs),
+        batch_size=8,
+    )
+    assert out.getvalue() == text_data
+
+
+def test_device_engine_decodes_golden(golden_text_bz3, text_data):
+    import io
+    from bzip3_tpu.engines import get_engine
+
+    out = io.BytesIO()
+    eng = get_engine("device")
+    decompress_file(
+        io.BytesIO(golden_text_bz3),
+        out,
+        batch_decode=lambda pairs, bs: eng.decode_blocks(pairs, bs),
+        batch_size=8,
+    )
+    assert out.getvalue() == text_data
+
+
+def test_reference_shakespeare_fixture():
+    """Decode the reference repo's own golden fixture if present and
+    cross-check against the compiled reference binary (local only)."""
+    import os, shutil, subprocess, pytest, io
+
+    fixture = "/root/reference/examples/shakespeare.txt.bz3"
+    refbin = "/tmp/refbuild/bzip3ref"
+    if not (os.path.exists(fixture) and os.path.exists(refbin)):
+        pytest.skip("reference fixture/binary not available")
+    if shutil.which("g++") is None:
+        pytest.skip("no C++ toolchain")
+    from bzip3_tpu.engines import get_engine
+
+    eng = get_engine("native")
+    blob = open(fixture, "rb").read()
+    ours = io.BytesIO()
+    decompress_file(
+        io.BytesIO(blob),
+        ours,
+        batch_decode=lambda pairs, bs: eng.decode_blocks(pairs, bs),
+        batch_size=16,
+    )
+    ref = subprocess.run([refbin, "-d", "-c", fixture], capture_output=True, check=True)
+    assert ours.getvalue() == ref.stdout
