@@ -133,3 +133,35 @@ def test_cm_decode_short_input():
     enc = cm_encode(data)
     out = cm_decode(enc[: len(enc) // 2], len(data))
     assert isinstance(out, bytes) and len(out) == len(data)
+
+
+# ----------------------------------------------- parallel CM encoder
+
+def test_cm_parallel_decomposition_bit_exact(text_data):
+    """The 3-phase parallel CM encoder (sorted per-slot counter chains
+    + speculative segmented evaluation + table-free range-coder pass)
+    is byte-identical to the serial coder."""
+    import numpy as np
+    from bzip3_tpu.ops.ref.cm import cm_encode
+    from bzip3_tpu.ops.ref.cm_parallel import cm_encode_parallel
+
+    rng = np.random.default_rng(21)
+    cases = [
+        b"",
+        b"a",
+        bytes(rng.integers(0, 256, 600, dtype=np.uint8)),
+        b"\x00" * 500,
+        bytes(rng.integers(0, 8, 800, dtype=np.uint8)),
+        text_data[:2000],
+    ]
+    for i, c in enumerate(cases):
+        assert cm_encode_parallel(c) == cm_encode(c), i
+
+
+def test_cm_parallel_small_segments(text_data):
+    """Tiny segments force many speculative warm-ups; still bit-exact."""
+    from bzip3_tpu.ops.ref.cm import cm_encode
+    from bzip3_tpu.ops.ref.cm_parallel import cm_encode_parallel
+
+    c = text_data[:1500]
+    assert cm_encode_parallel(c, seg=64) == cm_encode(c)
