@@ -43,9 +43,15 @@ def sharded_encode_core(mesh: Mesh):
     """shard_map'd encode stages; batch axis K must divide the mesh."""
 
     def _core(orig, orig_lens, cur, cur_lens):
+        from ..pipeline import _CM_PARALLEL_MAX_N
+        from ..ops.device.cm_parallel import cm_encode_parallel_batch
+
         crc = crc32_batch(orig, orig_lens)
         u, idx = bwt_forward_batch(cur, cur_lens)
-        payload, plens = cm_encode_batch(u, cur_lens)
+        if cur.shape[1] <= _CM_PARALLEL_MAX_N:
+            payload, plens, _ok = cm_encode_parallel_batch(u, cur_lens)
+        else:
+            payload, plens = cm_encode_batch(u, cur_lens)
         # Frame bookkeeping: total compressed bytes across all chips.
         total = jax.lax.psum(jnp.sum(plens), "dp")
         return crc, idx, payload, plens, total

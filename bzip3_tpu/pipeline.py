@@ -30,6 +30,11 @@ from .models.block_codec import parse_block_header
 from .ops.device import crc32_batch_auto as crc32_batch
 from .ops.device.bwt import bwt_forward_batch, bwt_inverse_batch
 from .ops.device.cm import cm_encode_batch, cm_decode_batch
+from .ops.device.cm_parallel import cm_encode_parallel_batch
+
+# The parallel CM encoder materializes ~50 bytes of event state per
+# input byte; above this block size fall back to the scan formulation.
+_CM_PARALLEL_MAX_N = 2 << 20
 from .ops.ref.lzp import lzp_encode, lzp_decode
 from .ops.ref.rle import rle_encode, rle_decode
 
@@ -48,10 +53,18 @@ def encode_core(orig, orig_lens, cur, cur_lens):
     orig: raw blocks (for the checksum); cur: blocks after optional
     host RLE/LZP.  Returns (crc [K], bwt_idx [K], payload [K, W],
     payload_lens [K]).
+
+    The CM stage uses the parallel 3-phase encoder (sorted per-slot
+    counter chains + table-free range pass, ops/device/cm_parallel.py)
+    for block sizes it fits in memory for; the lane-interleaved scan
+    otherwise.
     """
     crc = crc32_batch(orig, orig_lens)
     u, idx = bwt_forward_batch(cur, cur_lens)
-    payload, plens = cm_encode_batch(u, cur_lens)
+    if cur.shape[1] <= _CM_PARALLEL_MAX_N:
+        payload, plens, _ok = cm_encode_parallel_batch(u, cur_lens)
+    else:
+        payload, plens = cm_encode_batch(u, cur_lens)
     return crc, idx, payload, plens
 
 

@@ -172,3 +172,27 @@ def test_crc32_pallas_interpret_matches_oracle():
     out = np.asarray(crc32_batch_pallas(arr, lens, lanes=128, interpret=True))
     for i, c in enumerate(cases):
         assert int(out[i]) == ref_crc(c), i
+
+
+# ------------------------------------------- parallel CM (device)
+
+def test_cm_parallel_batch_matches_oracle(cases):
+    from bzip3_tpu.ops.device.cm_parallel import cm_encode_parallel_batch
+
+    arr, lens = _batch(cases, 512)
+    out, olens, ok = cm_encode_parallel_batch(arr, lens)
+    out, olens, ok = np.asarray(out), np.asarray(olens), np.asarray(ok)
+    for i, c in enumerate(cases):
+        assert bool(ok[i]), i
+        assert out[i, : olens[i]].tobytes() == ref_cm_enc(c), i
+
+
+def test_cm_parallel_on_bwt_output(text_data):
+    """Runny post-BWT data — the hard case for chain evaluation."""
+    from bzip3_tpu.ops.device.cm_parallel import cm_encode_parallel_batch
+
+    u, _ = ref_bwt(text_data[:2048])
+    arr, lens = _batch([u], 2048)
+    out, olens, ok = cm_encode_parallel_batch(arr, lens)
+    assert bool(np.asarray(ok)[0])
+    assert np.asarray(out)[0, : int(olens[0])].tobytes() == ref_cm_enc(u)
