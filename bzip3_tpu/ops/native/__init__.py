@@ -192,3 +192,73 @@ def decode_blocks(
             )
         out.append(outs_bufs[i].raw[:r])
     return out
+
+
+# ---------------------------------------------------------- stage API
+
+def _stage_lib():
+    lib = _load()
+    if not hasattr(lib, "_stage_ready"):
+        lib.bz3n_lzp_encode.restype = ctypes.c_int32
+        lib.bz3n_lzp_encode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.bz3n_lzp_decode.restype = ctypes.c_int32
+        lib.bz3n_lzp_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p,
+        ]
+        lib.bz3n_rle_encode.restype = ctypes.c_int32
+        lib.bz3n_rle_encode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
+        ]
+        lib.bz3n_rle_decode.restype = ctypes.c_int32
+        lib.bz3n_rle_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_void_p, ctypes.c_int32,
+        ]
+        lib._stage_ready = True
+    return lib
+
+
+_LZP_LUT = None
+
+
+def _lzp_lut():
+    global _LZP_LUT
+    if _LZP_LUT is None:
+        _LZP_LUT = ctypes.create_string_buffer(4 << 18)
+    return _LZP_LUT
+
+
+def lzp_encode(data: bytes):
+    """Native LZP pre-pass; None when not applicable (mirrors oracle)."""
+    lib = _stage_lib()
+    out = ctypes.create_string_buffer(max(64, len(data)))
+    r = lib.bz3n_lzp_encode(data, len(data), out, _lzp_lut())
+    return None if r < 0 else out.raw[:r]
+
+
+def lzp_decode(data: bytes, max_out: int):
+    lib = _stage_lib()
+    out = ctypes.create_string_buffer(max(64, max_out))
+    r = lib.bz3n_lzp_decode(data, len(data), out, max_out, _lzp_lut())
+    return None if r < 0 else out.raw[:r]
+
+
+def rle_encode(data: bytes) -> bytes:
+    lib = _stage_lib()
+    # mrlec output is bounded by 32 + 2n (worst case all gated singles)
+    out = ctypes.create_string_buffer(2 * max(32, len(data)) + 64)
+    r = lib.bz3n_rle_encode(data, len(data), out, len(out) - 1)
+    if r < 0:
+        # expanding beyond cap — return an over-length marker like the
+        # device wrapper (callers only use RLE when it shrinks)
+        return b"\x00" * (len(data) + 33)
+    return out.raw[:r]
+
+
+def rle_decode(data: bytes, out_len: int):
+    lib = _stage_lib()
+    out = ctypes.create_string_buffer(max(64, out_len))
+    r = lib.bz3n_rle_decode(data, len(data), out, out_len)
+    return None if r < 0 else out.raw[:r]

@@ -35,8 +35,15 @@ from .ops.device.cm_parallel import cm_encode_parallel_batch
 # The parallel CM encoder materializes ~50 bytes of event state per
 # input byte; above this block size fall back to the scan formulation.
 _CM_PARALLEL_MAX_N = 2 << 20
-from .ops.ref.lzp import lzp_encode, lzp_decode
-from .ops.ref.rle import rle_encode, rle_decode
+# Host pre/post passes: prefer the native (C++) stage codecs, fall
+# back to the NumPy oracles when no toolchain is available.
+try:
+    from .ops.native import lzp_encode, lzp_decode, rle_encode, rle_decode
+
+    lzp_encode(b"\x00" * 128)  # force compile/load early; validates ABI
+except Exception:  # pragma: no cover - toolchain-less environments
+    from .ops.ref.lzp import lzp_encode, lzp_decode
+    from .ops.ref.rle import rle_encode, rle_decode
 
 _U32 = struct.Struct("<I")
 _S32 = struct.Struct("<i")

@@ -888,6 +888,20 @@ extern "C" s32 bz3n_bwt_inverse(const u8 *in, u8 *out, s32 n, s32 index, s32 *sc
     return bz3n_bwt_inverse_ex(in, out, n, index, scratch, 2 * (int64_t)(n + 16));
 }
 
+// Stage-level exports (the TPU pipeline's host pre/post passes).
+extern "C" s32 bz3n_lzp_encode(const u8 *in, s32 n, u8 *out, s32 *lut) {
+    return lzp_encode(in, n, out, lut);
+}
+extern "C" s32 bz3n_lzp_decode(const u8 *in, s32 n, u8 *out, s32 max_out, s32 *lut) {
+    return lzp_decode(in, n, out, max_out, lut);
+}
+extern "C" s32 bz3n_rle_encode(const u8 *in, s32 n, u8 *out, s32 out_cap) {
+    return rle_encode(in, n, out, out_cap);
+}
+extern "C" s32 bz3n_rle_decode(const u8 *in, s32 n, u8 *out, s32 out_len) {
+    return rle_decode(in, n, out, out_len);
+}
+
 extern "C" s32 bz3n_bound(s32 n) { return bz3_bound(n); }
 extern "C" s32 bz3n_version() { return 1; }
 
