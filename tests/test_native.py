@@ -82,3 +82,13 @@ def test_engine_registry(native, cases):
     assert eng.decode_blocks([(e, len(c)) for e, c in zip(enc_n, cases)], BS) == list(
         cases
     )
+
+
+def test_big_block_u64_inverse_path(native):
+    """Blocks past 2^24 bytes use the u64 packed-node inverse-BWT path;
+    round-trip an incompressible 17 MiB block through it."""
+    n = (1 << 24) + 4097
+    src = np.random.default_rng(41).integers(0, 256, n, dtype=np.uint8).tobytes()
+    codec = native.NativeCodec(n)
+    enc = codec.encode_block(src)
+    assert codec.decode_block(enc, n) == src
