@@ -97,3 +97,25 @@ def test_oracle_engine_flag(sample):
     b = run_cli(["-e", "-b", "1", "-c", "--engine", "auto"], stdin=data)
     assert a.returncode == 0 and b.returncode == 0
     assert a.stdout == b.stdout
+
+
+def test_recover_mode_cli(sample, tmp_path):
+    enc = run_cli(["-e", "-b", "1", "-c"], stdin=sample.read_bytes())
+    bad = bytearray(enc.stdout)
+    bad[len(bad) // 2] ^= 0xFF  # corrupt one payload byte
+    p = tmp_path / "r.bz3"
+    p.write_bytes(bytes(bad))
+    # plain decode fails, recover succeeds with best-effort output
+    assert run_cli(["-d", "-c", str(p)]).returncode != 0
+    r = run_cli(["-r", "-c", str(p)])
+    assert r.returncode == 0
+    assert len(r.stdout) == len(sample.read_bytes())
+
+
+def test_jobs_flag_batched_identical(sample):
+    data = sample.read_bytes()
+    a = run_cli(["-e", "-b", "1", "-c", "-j", "4"], stdin=data)
+    b = run_cli(["-e", "-b", "1", "-c", "-j", "1"], stdin=data)
+    assert a.returncode == 0 and a.stdout == b.stdout
+    d = run_cli(["-d", "-c", "-j", "4"], stdin=a.stdout)
+    assert d.stdout == data
