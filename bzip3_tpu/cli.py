@@ -205,8 +205,13 @@ def main(argv=None):
         if f2 is None and f1 is not None and not args.force_stdstreams:
             if mode == "encode":
                 f2 = f1 + SUFFIX
-            elif mode in ("decode", "recover") and f1.endswith(SUFFIX):
-                f2 = f1[: -len(SUFFIX)]
+            elif mode in ("decode", "recover"):
+                if f1.endswith(SUFFIX):
+                    f2 = f1[: -len(SUFFIX)]
+                else:
+                    # Reference refuses unknown extensions instead of
+                    # silently dumping to stdout (src/main.c:783).
+                    _die(f"input `{f1}' does not have a {SUFFIX} suffix.")
         if args.force_stdstreams:
             f2 = None
         jobs.append((f1, f2))
@@ -217,11 +222,13 @@ def main(argv=None):
         out = None
         if mode != "test":
             out = _open_output(out_path, args.force)
+        job_ok = True
         try:
             _process(inp, out, mode, block_size, engine, batch_size, args.verbose)
         except Bz3Error as e:
             print(f"bzip3: {in_path or 'stdin'}: {e}", file=sys.stderr)
             status = 1
+            job_ok = False
             if out is not None and out is not sys.stdout.buffer and out_path:
                 out.close()
                 os.unlink(out_path)
@@ -231,7 +238,10 @@ def main(argv=None):
                 inp.close()
         if out is not None:
             _close(out)
-        if args.remove_input and in_path and not args.keep and status == 0:
+        # --rm removes each input based on that file's own outcome (the
+        # reference's per-file semantics, src/main.c:789), not the
+        # cumulative exit status.
+        if args.remove_input and in_path and not args.keep and job_ok:
             os.unlink(in_path)
     return status
 

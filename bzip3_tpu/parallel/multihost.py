@@ -13,8 +13,9 @@ join is the only barrier).  The TPU-native scale-out story:
    only cross-host traffic is the byte-count psum (ICI/DCN).
 4. Variable-length bitstreams cross hosts as fixed ``bound()``-padded
    rows plus a length vector (the static pad is what makes the gather
-   a plain all-gather); ``gather_to_writer`` materializes every
-   host's payloads on host 0, which writes the frame in block order.
+   a plain all-gather); ``gather_to_writer`` assembles every host's
+   payloads on host 0 (chunked staging, writer-only retention), which
+   writes the frame in block order.
 
 Single-host processes degrade gracefully: ``initialize`` is a no-op
 when no coordinator is configured, and the global mesh is the local
@@ -68,12 +69,42 @@ def make_global_batch(mesh: Mesh, local_rows: np.ndarray) -> jax.Array:
 
 
 def gather_to_writer(payloads: jax.Array, lengths: jax.Array):
-    """All-gather the padded payload rows and lengths to every process
-    (the writer host slices and writes in frame order).
+    """Gather the padded payload rows and lengths so the writer host can
+    slice and write them in frame order.
 
-    payloads: [K_global, W] sharded over 'dp'; returns numpy copies on
-    this host (fully replicated) — small K*bound(block) staging cost,
-    the price of variable-length data in fixed-shape collectives.
+    payloads: [K_global, W] sharded over 'dp'.  Returns numpy copies on
+    the writer host (process 0); other processes get ``None`` payloads
+    (they participate in the collective but retain nothing).  A jit
+    identity with ``out_shardings=None`` would *preserve* the input
+    sharding (np.asarray then raises on a non-fully-addressable
+    array), so rows are explicitly gathered.
     """
-    rep = jax.jit(lambda x: x, out_shardings=None)
-    return np.asarray(rep(payloads)), np.asarray(rep(lengths))
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        # Chunked gather: the collective is an all-gather (JAX has no
+        # rooted gather), but staging it CHUNK_ROWS rows at a time
+        # bounds every host's peak staging memory to one chunk, and
+        # only the writer host retains the assembled rows.
+        CHUNK_ROWS = 64
+        lens = np.asarray(multihost_utils.process_allgather(lengths, tiled=True))
+        k = payloads.shape[0]
+        if jax.process_index() == 0:
+            out = np.empty((k,) + payloads.shape[1:], dtype=payloads.dtype)
+        else:
+            out = None
+        for lo in range(0, k, CHUNK_ROWS):
+            hi = min(k, lo + CHUNK_ROWS)
+            chunk = multihost_utils.process_allgather(
+                payloads[lo:hi], tiled=True
+            )
+            if out is not None:
+                out[lo:hi] = np.asarray(chunk)
+        return out, lens
+    mesh = getattr(payloads.sharding, "mesh", None)
+    if mesh is not None:
+        rep = jax.jit(
+            lambda x: x, out_shardings=NamedSharding(mesh, P())
+        )
+        payloads, lengths = rep(payloads), rep(lengths)
+    return np.asarray(payloads), np.asarray(lengths)

@@ -49,18 +49,19 @@ def sharded_encode_core(mesh: Mesh):
         crc = crc32_batch(orig, orig_lens)
         u, idx = bwt_forward_batch(cur, cur_lens)
         if cur.shape[1] <= _CM_PARALLEL_MAX_N:
-            payload, plens, _ok = cm_encode_parallel_batch(u, cur_lens)
+            payload, plens, ok = cm_encode_parallel_batch(u, cur_lens)
         else:
             payload, plens = cm_encode_batch(u, cur_lens)
+            ok = plens <= payload.shape[1]
         # Frame bookkeeping: total compressed bytes across all chips.
         total = jax.lax.psum(jnp.sum(plens), "dp")
-        return crc, idx, payload, plens, total
+        return crc, idx, payload, plens, ok, total
 
     mapped = shard_map(
         _core,
         mesh=mesh,
         in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
-        out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P()),
+        out_specs=(P("dp"), P("dp"), P("dp"), P("dp"), P("dp"), P()),
         check_vma=False,
     )
     return jax.jit(mapped)
@@ -98,8 +99,8 @@ def sharded_pipeline(block_size: int, mesh: Mesh | None = None):
     dec_cache = {}
 
     def encode_core_fn(orig, orig_lens, cur, cur_lens):
-        crc, idx, payload, plens, _total = enc(orig, orig_lens, cur, cur_lens)
-        return crc, idx, payload, plens
+        crc, idx, payload, plens, ok, _total = enc(orig, orig_lens, cur, cur_lens)
+        return crc, idx, payload, plens, ok
 
     def decode_core_fn(payload, payload_lens, sbb_lens, bwt_idx, out_width):
         if out_width not in dec_cache:

@@ -59,20 +59,24 @@ def encode_core(orig, orig_lens, cur, cur_lens):
 
     orig: raw blocks (for the checksum); cur: blocks after optional
     host RLE/LZP.  Returns (crc [K], bwt_idx [K], payload [K, W],
-    payload_lens [K]).
+    payload_lens [K], ok [K] bool).
 
     The CM stage uses the parallel 3-phase encoder (sorted per-slot
     counter chains + table-free range pass, ops/device/cm_parallel.py)
     for block sizes it fits in memory for; the lane-interleaved scan
-    otherwise.
+    otherwise.  ``ok[k]`` is False when that row's payload could not be
+    produced exactly (per-step emission-slot overflow in the parallel
+    encoder, or payload length exceeding the padded width) — callers
+    MUST re-encode those rows through another engine.
     """
     crc = crc32_batch(orig, orig_lens)
     u, idx = bwt_forward_batch(cur, cur_lens)
     if cur.shape[1] <= _CM_PARALLEL_MAX_N:
-        payload, plens, _ok = cm_encode_parallel_batch(u, cur_lens)
+        payload, plens, ok = cm_encode_parallel_batch(u, cur_lens)
     else:
         payload, plens = cm_encode_batch(u, cur_lens)
-    return crc, idx, payload, plens
+        ok = plens <= payload.shape[1]
+    return crc, idx, payload, plens, ok
 
 
 @partial(jax.jit, static_argnames=("out_width",))
@@ -131,19 +135,30 @@ class DevicePipeline:
 
         orig_arr, orig_lens = _pad_batch(blocks, self.width)
         cur_arr, cur_lens = _pad_batch([m[3] for m in metas], self.width)
-        crc, idx, payload, plens = self.encode_core_fn(
+        crc, idx, payload, plens, ok = self.encode_core_fn(
             orig_arr, orig_lens, cur_arr, cur_lens
         )
         crc = np.asarray(crc)
         idx = np.asarray(idx)
         payload = np.asarray(payload)
         plens = np.asarray(plens)
+        ok = np.asarray(ok)
 
         out = []
         for i, data in enumerate(blocks):
             model, lzp_size, rle_size, _ = metas[i]
             if len(data) < SMALL_BLOCK_THRESHOLD:
                 out.append(_U32.pack(int(crc[i])) + _S32.pack(-1) + data)
+                continue
+            if not bool(ok[i]):
+                # cm_parallel certification failure / emission overflow,
+                # or a payload exceeding the padded width: re-encode this
+                # block through the exact serial path (ops.ref) — slow,
+                # guaranteed, and byte-identical by the cross-engine
+                # parity contract (never silently emit a corrupt stream).
+                from .models.block_codec import encode_block
+
+                out.append(encode_block(data))
                 continue
             hdr = bytearray(_U32.pack(int(crc[i])) + _S32.pack(int(idx[i])))
             hdr.append(model)

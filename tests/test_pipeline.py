@@ -78,3 +78,45 @@ def test_multihost_helpers_single_process():
     assert g.shape == (16, 4)
     p, l = mh.gather_to_writer(g, np.arange(16, dtype=np.int32))
     assert (p == rows).all() and (l == np.arange(16)).all()
+
+
+def test_encode_ok_flag_fallback_reencodes(blocks):
+    """Rows the device CM encoder flags as non-exact must be re-encoded
+    through the serial path, never emitted (silent-corruption guard for
+    the cm_parallel ok contract, ops/device/cm_parallel.py:25-27)."""
+    import numpy as np
+
+    pipe = DevicePipeline(BS)
+    real_core = pipe.encode_core_fn
+
+    def poisoned_core(orig, orig_lens, cur, cur_lens):
+        crc, idx, payload, plens, ok = real_core(orig, orig_lens, cur, cur_lens)
+        ok = np.asarray(ok).copy()
+        ok[:] = False  # pretend every row failed certification
+        return crc, idx, payload, plens, ok
+
+    pipe.encode_core_fn = poisoned_core
+    encoded = pipe.encode_blocks(blocks)
+    # Every non-literal block must still be byte-identical to the oracle.
+    for e, b in zip(encoded, blocks):
+        assert e == encode_block(b)
+    decoded = pipe.decode_blocks([(e, len(b)) for e, b in zip(encoded, blocks)])
+    assert decoded == list(blocks)
+
+
+def test_cm_encode_batch_reports_overflow_length():
+    """cm_encode_batch must report the TRUE output length even when it
+    exceeds the padded width (writes drop, optr keeps counting), so the
+    pipeline's ok = plens <= W check can catch the overflow."""
+    import jax.numpy as jnp
+    from bzip3_tpu.ops.device.cm import cm_encode_batch
+
+    data = np.asarray(RNG.integers(0, 256, (1, 512), dtype=np.uint8))
+    out, lens = cm_encode_batch(jnp.asarray(data), jnp.asarray([512], np.int32))
+    true_len = int(np.asarray(lens)[0])
+    # Re-run with a width too small to hold the payload.
+    out2, lens2 = cm_encode_batch(
+        jnp.asarray(data), jnp.asarray([512], np.int32), out_width=max(8, true_len // 4)
+    )
+    assert int(np.asarray(lens2)[0]) == true_len  # length survives the clamp
+    assert true_len > max(8, true_len // 4)  # i.e. ok would be False
