@@ -1,0 +1,733 @@
+"""Pallas TPU kernel for the CM entropy coder (encode + decode).
+
+The format's coder (reference src/libbz3.c:331-494) is bit-serial per
+block: 8 adaptive binary decisions per byte against mutable tables
+C0[256] / C1[256][256] / C2[512][17].  The XLA scan formulation pays a
+fixed per-step dispatch/mutation cost on this backend (PERF_NOTES §2);
+this kernel instead runs the WHOLE per-block loop on-core with the
+tables resident in VMEM, coding L independent blocks ("lanes") in
+lockstep — one instruction stream, L blocks of real work per step.
+
+Layout (the whole design):
+
+- CM lane = sublane row.  Every per-lane scalar (low/high/code/ip/
+  ctx/...) is a row-constant [L, 128] i32 vreg; per-lane table lookups
+  are `take_along_axis` along the 128-lane axis (tpu.dynamic_gather),
+  the primitive proven out by the CRC32 kernel (crc32_pallas.py).
+- Bit position t bounds the context: ctx ∈ [2^t, 2^(t+1)).  C0 and C2
+  are therefore SPLIT PER BIT into separate refs: C0_t holds the 2^t
+  counters bit t can touch (single-gather lookups), C2_t holds rows
+  [2^(t+1), 2^(t+2)) (34·2^t entries, gathered in 128-lane chunks).
+  Splitting also removes false serialization between bits: bit t+1
+  never reads a ref bit t wrote.
+- C1 rows are cached per byte (rowA = C1[c1], rowB = C1[c2]): the
+  byte-serial part fetches two 256-entry rows per lane per byte via
+  scalar-bridged dynamic slices; within the byte all C1 traffic hits
+  the cached rows.
+- ALL counter updates are deferred to the end of the byte, off the
+  bit-serial critical path.  This is exact: within one byte the coder
+  reads each C0/C1 slot only at its own tree node (before updating
+  it), C2 rows are disjoint across bits (distinct 2ctx+f ranges), and
+  x2 = C2[sse+1] never crosses a row because p <= 65535 => j <= 15.
+- The range coder runs in i32 with explicit unsigned-compare helpers;
+  the reference's 64-bit product ((high-low) * (ssep*3+p)) >> 18 is
+  reproduced with 16-bit limb products and carries (_mul_shift18_i32).
+- Streaming: blocks larger than VMEM stage through HBM.  Decode input
+  refills a per-lane 256-byte circular VMEM window by per-lane DMA
+  (consumption is data-dependent; <= 32 B per byte-step bounds one
+  half-crossing per step).  Encode output mirrors it with per-lane
+  flush DMAs.  The in-lockstep streams (decode output, encode input)
+  move as plain [L, 128] block DMAs every 128 steps, double-buffered.
+
+Bit-exactness is enforced against ops/ref/cm.py by tests (interpret
+mode on CPU; the same kernel runs compiled on TPU).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+I32 = jnp.int32
+SIGN = np.int32(-0x80000000)  # 1 << 31 as i32
+TOPX = np.int32((1 << 24) ^ -0x80000000)  # TOP ^ SIGN, for unsigned compares
+
+
+def _ult(a, b):
+    """Unsigned 32-bit a < b on i32 vregs."""
+    return (a ^ SIGN) < (b ^ SIGN)
+
+
+def _ule(a, b):
+    return (a ^ SIGN) <= (b ^ SIGN)
+
+
+def _srl(a, n):
+    return jax.lax.shift_right_logical(a, jnp.int32(n) if isinstance(n, int) else n)
+
+
+def _mul_shift18_i32(a, b):
+    """floor((u32)a * (u32)b / 2**18) mod 2**32, b < 2**18, in i32 ops.
+
+    Mirrors ops/device/cm._mul_shift18 (reference src/libbz3.c:390:
+    ((u64)(high - low) * (ssep * 3 + p)) >> 18).
+    """
+    a0 = a & 0xFFFF
+    a1 = _srl(a, 16)
+    b0 = b & 0xFFFF
+    b1 = _srl(b, 16)  # < 4
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p10 = a1 * b0
+    p11 = a1 * b1
+    mid = p01 + p10
+    cm = _ult(mid, p10).astype(I32)
+    s = mid + _srl(p00, 16)
+    cs = _ult(s, mid).astype(I32)
+    return (p11 << 14) + ((cm + cs) << 30) + _srl(s, 2)
+
+
+def _gather_chunk(tbl, idx):
+    """tbl [L, 128], idx [L, 128] in [0, 128) -> tbl[l, idx]."""
+    return jnp.take_along_axis(tbl, idx, axis=1)
+
+
+def _gather_wide(tbl, idx):
+    """tbl [L, W] (W = k*128), per-lane gather at idx [L, 128]."""
+    w = tbl.shape[1]
+    if w == 128:
+        return _gather_chunk(tbl, jnp.clip(idx, 0, 127))
+    out = jnp.zeros(idx.shape, tbl.dtype)
+    for k in range(w // 128):
+        loc = idx - k * 128
+        v = _gather_chunk(tbl[:, k * 128 : (k + 1) * 128], jnp.clip(loc, 0, 127))
+        out = jnp.where((loc >= 0) & (loc < 128), v, out)
+    return out
+
+
+def _scatter_wide(ref, updates):
+    """Apply per-lane single-slot updates to a [L, W] VMEM ref.
+
+    updates: list of (idx [L,128], val [L,128], mask [L,128]) applied
+    in order (later wins).  One read-modify-write pass over the ref.
+    """
+    l_dim, w = ref.shape
+    col = jax.lax.broadcasted_iota(I32, (l_dim, 128), 1)
+    for k in range(w // 128):
+        chunk = ref[:, k * 128 : (k + 1) * 128]
+        for idx, val, mask in updates:
+            loc = idx - k * 128
+            m = mask & (col == loc)
+            chunk = jnp.where(m, val, chunk)
+        ref[:, k * 128 : (k + 1) * 128] = chunk
+
+
+def _c2_init(shape):
+    """C2 init pattern: slot (r*17 + k) = (k << 12) - (k == 16),
+    synthesized in-kernel (iota + magic /17, exact for idx < 2**20)."""
+    idx = jax.lax.broadcasted_iota(I32, shape, 1)
+    k = idx - 17 * ((idx * 61681) >> 20)
+    return (k << 12) - (k == 16).astype(I32)
+
+
+def _predict(c0t, rowa, rowb, ctx, f, t):
+    """One bit's prediction reads (reference src/libbz3.c:376-387)."""
+    rel = ctx - (1 << t)
+    p0 = _gather_chunk(c0t, rel)
+    p1 = _gather_wide(rowa, ctx)
+    p2 = _gather_wide(rowb, ctx)
+    p = ((p0 + p1) * 7 + p2 + p2) >> 4
+    j = p >> 12
+    sse_rel = (2 * rel + f) * 17 + j
+    return p0, p1, p, sse_rel
+
+
+def _sse(c2t, sse_rel, p):
+    x1 = _gather_wide(c2t, sse_rel)
+    x2 = _gather_wide(c2t, sse_rel + 1)
+    ssep = x1 + (((x2 - x1) * (p & 4095)) >> 12)
+    return x1, x2, ssep
+
+
+def _upd(bit, p0, p1, x1, x2):
+    """Counter update values, rates 2/4/6 (src/libbz3.c:347-348)."""
+    u0 = jnp.where(bit, p0 + ((p0 ^ 65535) >> 2), p0 - (p0 >> 2))
+    u1 = jnp.where(bit, p1 + ((p1 ^ 65535) >> 4), p1 - (p1 >> 4))
+    v1 = jnp.where(bit, x1 + ((x1 ^ 65535) >> 6), x1 - (x1 >> 6))
+    v2 = jnp.where(bit, x2 + ((x2 ^ 65535) >> 6), x2 - (x2 >> 6))
+    return u0, u1, v1, v2
+
+
+def _apply_deferred(c0, c2, rowa, defer, active):
+    """Flush one byte's deferred counter updates into the table refs."""
+    rowa_ups = []
+    for t in range(8):
+        ctx, sse_rel, u0, u1, v1, v2, mask = defer[t]
+        m = mask & active
+        _scatter_wide(c0[t], [(ctx - (1 << t), u0, m)])
+        _scatter_wide(c2[t], [(sse_rel, v1, m), (sse_rel + 1, v2, m)])
+        rowa_ups.append((ctx, u1, m))
+    _scatter_wide(rowa, rowa_ups)
+
+
+def _rotate_c1_rows(c1, rowa, rowb, scal, c1_old, c1_new, active, lanes):
+    """Byte-boundary C1 maintenance: write rowA back to C1[c1_old],
+    rowB <- rowA (c2' = c1), rowA <- C1[c1_new].  Per-lane scalar
+    control via the VMEM scalar bridge."""
+    act_mask = jnp.broadcast_to(active[:, :1], rowb.shape)
+    rowb[...] = jnp.where(act_mask, rowa[...], rowb[...])
+    scal[0] = c1_old
+    scal[1] = c1_new
+    scal[2] = active.astype(I32)
+    for l in range(lanes):
+        o = scal[0, l, 0] & 255
+        n = scal[1, l, 0] & 255
+        a = scal[2, l, 0]
+
+        @pl.when((a == 1) & (o != n))
+        def _():
+            c1[l, o, :] = rowa[l, :]
+            rowa[l, :] = c1[l, n, :]
+
+        @pl.when((a == 1) & (o == n))
+        def _():
+            # same context: the cache IS the row; write-back only (so a
+            # later fetch of this row sees the updates).
+            c1[l, o, :] = rowa[l, :]
+
+
+# ---------------------------------------------------------------------------
+# Decode kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_decode_kernel(lanes, n_steps, m_in):
+    n_flushes = n_steps // 128
+
+    def kernel(
+        plen_ref,  # VMEM [L, 128] i32 (row-constant payload lengths)
+        olen_ref,  # VMEM [L, 128] i32 (row-constant output lengths)
+        hbm_in,  # ANY  [L, m_in] i32 (payload bytes, one per slot)
+        hbm_out,  # ANY  [L, n_steps] i32 (decoded bytes out)
+        # scratch:
+        c1,  # VMEM [L, 256, 256] i32
+        rowa,  # VMEM [L, 256]
+        rowb,  # VMEM [L, 256]
+        win,  # VMEM [L, 256] input window
+        ob,  # VMEM [2, L, 128] output staging
+        scal,  # VMEM [3, L, 128] scalar bridge
+        c0_0, c0_1, c0_2, c0_3, c0_4, c0_5, c0_6, c0_7,
+        c2_0, c2_1, c2_2, c2_3, c2_4, c2_5, c2_6, c2_7,
+        in_sems,  # DMA [L]
+        out_sems,  # DMA [2]
+    ):
+        c0 = [c0_0, c0_1, c0_2, c0_3, c0_4, c0_5, c0_6, c0_7]
+        c2 = [c2_0, c2_1, c2_2, c2_3, c2_4, c2_5, c2_6, c2_7]
+        plen = plen_ref[...]
+        olen = olen_ref[...]
+
+        # ---- init tables ------------------------------------------------
+        for t in range(8):
+            c0[t][...] = jnp.full(c0[t].shape, 1 << 15, I32)
+            c2[t][...] = _c2_init(c2[t].shape)
+        c1[...] = jnp.full(c1.shape, 1 << 15, I32)
+        rowa[...] = jnp.full(rowa.shape, 1 << 15, I32)
+        rowb[...] = jnp.full(rowb.shape, 1 << 15, I32)
+
+        # ---- initial input window: two half DMAs ------------------------
+        for h in range(2):
+            cp = pltpu.make_async_copy(
+                hbm_in.at[:, pl.ds(h * 128, 128)],
+                win.at[:, pl.ds(h * 128, 128)],
+                in_sems.at[0],
+            )
+            cp.start()
+            cp.wait()
+
+        zeros = jnp.zeros((lanes, 128), I32)
+        low = zeros
+        high = jnp.full((lanes, 128), -1, I32)
+        code = zeros
+        ip = zeros
+        fh = jnp.full((lanes, 128), 256, I32)  # filled_hi (absolute)
+
+        def read_byte(ipv):
+            b = _gather_wide(win, ipv & 255)
+            return jnp.where(ipv < plen, b, jnp.int32(-1))
+
+        for _ in range(4):
+            code = (code << 8) + read_byte(ip)
+            ip = ip + 1
+
+        c1v = zeros
+        c2v = zeros
+        runv = zeros
+
+        def body(i, carry):
+            low, high, code, ip, fh, c1v, c2v, runv, obuf = carry
+            active = i < olen
+            runv = jnp.where(active, jnp.where(c1v == c2v, runv + 1, 0), runv)
+            f = (runv > 2).astype(I32)
+
+            ctx = jnp.ones((lanes, 128), I32)
+            defer = [None] * 8
+            for t in range(8):
+                p0, p1, p, sse_rel = _predict(c0[t][...], rowa[...], rowb[...], ctx, f, t)
+                x1, x2, ssep = _sse(c2[t][...], sse_rel, p)
+                step = _mul_shift18_i32(high - low, ssep * 3 + p)
+                mid = low + step
+                bit = _ule(code, mid)
+                high = jnp.where(bit & active, mid, high)
+                low = jnp.where((~bit) & active, mid + 1, low)
+                # renormalize (unrolled 4: a 32-bit range refills at most
+                # 4 bytes per bit, src/libbz3.c:443-449)
+                for _ in range(4):
+                    do = active & _ult(low ^ high, jnp.int32(1 << 24))
+                    nb = read_byte(ip)
+                    low = jnp.where(do, low << 8, low)
+                    high = jnp.where(do, (high << 8) | 0xFF, high)
+                    code = jnp.where(do, (code << 8) + nb, code)
+                    ip = ip + do.astype(I32)
+                u0, u1, v1, v2 = _upd(bit, p0, p1, x1, x2)
+                defer[t] = (ctx, sse_rel, u0, u1, v1, v2, active)
+                ctx = ctx + ctx + bit.astype(I32)
+
+            _apply_deferred(c0, c2, rowa, defer, active)
+
+            byte = ctx & 255
+            obuf = jnp.where(
+                jax.lax.broadcasted_iota(I32, (lanes, 128), 1) == (i & 127),
+                jnp.where(active, byte, 0),
+                obuf,
+            )
+
+            c1o = c1v
+            c2v = jnp.where(active, c1v, c2v)
+            c1v = jnp.where(active, byte, c1v)
+            _rotate_c1_rows(c1, rowa, rowb, scal, c1o, c1v, active, lanes)
+
+            # ---- output flush every 128 steps ---------------------------
+            @pl.when((i & 127) == 127)
+            def _():
+                slot = (i >> 7) & 1
+
+                @pl.when(i >= 256)
+                def _():
+                    pltpu.make_async_copy(
+                        ob.at[slot], hbm_out.at[:, pl.ds(i - 127, 128)], out_sems.at[slot]
+                    ).wait()
+
+                ob[slot] = obuf
+                pltpu.make_async_copy(
+                    ob.at[slot], hbm_out.at[:, pl.ds(i - 127, 128)], out_sems.at[slot]
+                ).start()
+
+            # ---- input refill when any lane runs low --------------------
+            need = active & (fh - ip < 64)
+
+            @pl.when(jnp.any(need))
+            def _():
+                scal[0] = fh
+                scal[1] = need.astype(I32)
+                for l in range(lanes):
+                    fl = scal[0, l, 0]
+                    nd = scal[1, l, 0]
+
+                    @pl.when((nd == 1) & (fl + 128 <= m_in))
+                    def _():
+                        off = pl.multiple_of(fl, 128)
+                        pltpu.make_async_copy(
+                            hbm_in.at[l, pl.ds(off, 128)],
+                            win.at[l, pl.ds(off & 255, 128)],
+                            in_sems.at[l],
+                        ).start()
+                for l in range(lanes):
+                    fl = scal[0, l, 0]
+                    nd = scal[1, l, 0]
+
+                    @pl.when((nd == 1) & (fl + 128 <= m_in))
+                    def _():
+                        off = pl.multiple_of(fl, 128)
+                        pltpu.make_async_copy(
+                            hbm_in.at[l, pl.ds(off, 128)],
+                            win.at[l, pl.ds(off & 255, 128)],
+                            in_sems.at[l],
+                        ).wait()
+            fh = fh + 128 * (need & (fh + 128 <= m_in)).astype(I32)
+
+            return (low, high, code, ip, fh, c1v, c2v, runv, obuf)
+
+        carry = (low, high, code, ip, fh, c1v, c2v, runv, zeros)
+        carry = jax.lax.fori_loop(0, n_steps, body, carry)
+
+        # drain outstanding output DMAs
+        if n_flushes >= 1:
+            pltpu.make_async_copy(
+                ob.at[(n_flushes - 1) & 1],
+                hbm_out.at[:, pl.ds((n_flushes - 1) * 128, 128)],
+                out_sems.at[(n_flushes - 1) & 1],
+            ).wait()
+        if n_flushes >= 2:
+            pltpu.make_async_copy(
+                ob.at[(n_flushes - 2) & 1],
+                hbm_out.at[:, pl.ds((n_flushes - 2) * 128, 128)],
+                out_sems.at[(n_flushes - 2) & 1],
+            ).wait()
+
+    return kernel
+
+
+def _c2_shapes(lanes):
+    return [
+        pltpu.VMEM((lanes, -(-(34 << t) // 128) * 128), I32) for t in range(8)
+    ]
+
+
+def _c0_shapes(lanes):
+    return [pltpu.VMEM((lanes, 128), I32) for _ in range(8)]
+
+
+@partial(jax.jit, static_argnames=("lanes", "n_steps", "m_in", "interpret"))
+def _decode_call(payload, plens, olens, lanes, n_steps, m_in, interpret):
+    kern = _make_decode_kernel(lanes, n_steps, m_in)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((lanes, n_steps), I32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((lanes, 256, 256), I32),
+            pltpu.VMEM((lanes, 256), I32),
+            pltpu.VMEM((lanes, 256), I32),
+            pltpu.VMEM((lanes, 256), I32),
+            pltpu.VMEM((2, lanes, 128), I32),
+            pltpu.VMEM((3, lanes, 128), I32),
+            *_c0_shapes(lanes),
+            *_c2_shapes(lanes),
+            pltpu.SemaphoreType.DMA((lanes,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(
+        jnp.broadcast_to(plens[:, None].astype(I32), (lanes, 128)),
+        jnp.broadcast_to(olens[:, None].astype(I32), (lanes, 128)),
+        payload,
+    )
+    return out
+
+
+def cm_decode_pallas_batch(
+    data: jax.Array,
+    in_lens: jax.Array,
+    out_lens: jax.Array,
+    out_width: int,
+    lanes: int = 16,
+    interpret: bool | None = None,
+):
+    """Drop-in for cm_decode_batch via the Pallas lane kernel.
+
+    data: [K, M] uint8; returns [K, out_width] uint8.  Rows are split
+    into groups of ``lanes``; each group is one kernel launch.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    k_dim, m = data.shape
+    n_steps = max(128, -(-out_width // 128) * 128)
+    m_in = max(256, -(-(m + 64) // 128) * 128) + 128
+    outs = []
+    for g in range(0, k_dim, lanes):
+        rows = min(lanes, k_dim - g)
+        pay = jnp.zeros((lanes, m_in), I32)
+        pay = pay.at[:rows, :m].set(data[g : g + rows].astype(I32))
+        pl_ = jnp.zeros((lanes,), I32).at[:rows].set(in_lens[g : g + rows].astype(I32))
+        ol = jnp.zeros((lanes,), I32).at[:rows].set(out_lens[g : g + rows].astype(I32))
+        out = _decode_call(pay, pl_, ol, lanes, n_steps, m_in, interpret)
+        outs.append(out[:rows, :out_width].astype(jnp.uint8))
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
+# ---------------------------------------------------------------------------
+# Encode kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_encode_kernel(lanes, n_steps, w_out):
+    def kernel(
+        ilen_ref,  # VMEM [L, 128] i32 input lengths
+        hbm_in,  # ANY [L, n_steps] i32 input bytes
+        hbm_out,  # ANY [L, w_out] i32 output bytes
+        olen_ref,  # VMEM [L, 128] i32 output lengths (out)
+        # scratch
+        c1, rowa, rowb,
+        ib,  # VMEM [2, L, 128] input staging
+        wout,  # VMEM [L, 256] output window staging
+        scal,  # VMEM [3, L, 128]
+        c0_0, c0_1, c0_2, c0_3, c0_4, c0_5, c0_6, c0_7,
+        c2_0, c2_1, c2_2, c2_3, c2_4, c2_5, c2_6, c2_7,
+        in_sems,  # DMA [2]
+        out_sems,  # DMA [L]
+        flag,  # SMEM [L] — lane has an outstanding flush DMA
+    ):
+        c0 = [c0_0, c0_1, c0_2, c0_3, c0_4, c0_5, c0_6, c0_7]
+        c2 = [c2_0, c2_1, c2_2, c2_3, c2_4, c2_5, c2_6, c2_7]
+        ilen = ilen_ref[...]
+
+        for t in range(8):
+            c0[t][...] = jnp.full(c0[t].shape, 1 << 15, I32)
+            c2[t][...] = _c2_init(c2[t].shape)
+        c1[...] = jnp.full(c1.shape, 1 << 15, I32)
+        rowa[...] = jnp.full(rowa.shape, 1 << 15, I32)
+        rowb[...] = jnp.full(rowb.shape, 1 << 15, I32)
+        for l in range(lanes):
+            flag[l] = 0
+
+        # prime the input pipeline
+        pltpu.make_async_copy(
+            hbm_in.at[:, pl.ds(0, 128)], ib.at[0], in_sems.at[0]
+        ).start()
+        if n_steps > 128:
+            pltpu.make_async_copy(
+                hbm_in.at[:, pl.ds(128, 128)], ib.at[1], in_sems.at[1]
+            ).start()
+
+        zeros = jnp.zeros((lanes, 128), I32)
+        low = zeros
+        high = jnp.full((lanes, 128), -1, I32)
+        optr = zeros
+        flushed = zeros
+        c1v = zeros
+        c2v = zeros
+        runv = zeros
+        col_iota = jax.lax.broadcasted_iota(I32, (lanes, 128), 1)
+        wcol_iota = jax.lax.broadcasted_iota(I32, (lanes, 256), 1)
+
+        def emit(wv, optr, low, do):
+            """Blend (low >> 24) into the 256-circular window at optr."""
+            b = _srl(low, 24)
+            loc = optr & 255
+            m = jnp.broadcast_to(do[:, :1], (lanes, 256)) & (
+                wcol_iota == jnp.broadcast_to(loc[:, :1], (lanes, 256))
+            )
+            wv = jnp.where(m, jnp.broadcast_to(b[:, :1], (lanes, 256)), wv)
+            return wv, optr + do.astype(I32)
+
+        def body(i, carry):
+            low, high, optr, flushed, c1v, c2v, runv, wv = carry
+            active = i < ilen
+
+            # chunk k's DMA (primed at k-1 or at kernel start) must land
+            # before its first byte is read; then prefetch chunk k+1
+            # into the other slot (k=0's successor was primed already).
+            @pl.when((i & 127) == 0)
+            def _():
+                k = i >> 7
+                pltpu.make_async_copy(
+                    hbm_in.at[:, pl.ds(k * 128, 128)], ib.at[k & 1], in_sems.at[k & 1]
+                ).wait()
+
+                @pl.when((i >= 128) & ((k + 1) * 128 < n_steps))
+                def _():
+                    pltpu.make_async_copy(
+                        hbm_in.at[:, pl.ds((k + 1) * 128, 128)],
+                        ib.at[(k + 1) & 1],
+                        in_sems.at[(k + 1) & 1],
+                    ).start()
+
+            slot = (i >> 7) & 1
+            cbyte = _gather_chunk(
+                jnp.where(slot == 0, ib[0], ib[1]),
+                jnp.zeros((lanes, 128), I32) + (i & 127),
+            )
+
+            runv = jnp.where(active, jnp.where(c1v == c2v, runv + 1, 0), runv)
+            f = (runv > 2).astype(I32)
+
+            c = cbyte & 255
+            ctx = jnp.ones((lanes, 128), I32)
+            defer = [None] * 8
+            for t in range(8):
+                p0, p1, p, sse_rel = _predict(c0[t][...], rowa[...], rowb[...], ctx, f, t)
+                x1, x2, ssep = _sse(c2[t][...], sse_rel, p)
+                bit = (c & 128) != 0
+                step = _mul_shift18_i32(high - low, ssep * 3 + p)
+                high = jnp.where(bit & active, low + step, high)
+                low = jnp.where((~bit) & active, low + step + 1, low)
+                for _ in range(4):
+                    do = active & _ult(low ^ high, jnp.int32(1 << 24))
+                    wv, optr = emit(wv, optr, low, do)
+                    low = jnp.where(do, low << 8, low)
+                    high = jnp.where(do, (high << 8) | 0xFF, high)
+                u0, u1, v1, v2 = _upd(bit, p0, p1, x1, x2)
+                defer[t] = (ctx, sse_rel, u0, u1, v1, v2, active)
+                ctx = ctx + ctx + bit.astype(I32)
+                c = (c << 1) & 0xFF
+
+            _apply_deferred(c0, c2, rowa, defer, active)
+
+            c1o = c1v
+            c2v = jnp.where(active, c1v, c2v)
+            c1v = jnp.where(active, ctx & 255, c1v)
+            _rotate_c1_rows(c1, rowa, rowb, scal, c1o, c1v, active, lanes)
+
+            # ---- flush lanes whose window half filled -------------------
+            # All per-lane output DMAs are 128 wide from wout[l, 0:128],
+            # so a wait's reconstructed descriptor always byte-matches
+            # the outstanding start regardless of the HBM offset.
+            need = (optr - flushed) >= 128
+
+            @pl.when(jnp.any(need))
+            def _():
+                scal[0] = flushed
+                scal[1] = need.astype(I32)
+                for l in range(lanes):
+                    fl = scal[0, l, 0]
+                    nd = scal[1, l, 0]
+
+                    @pl.when(nd == 1)
+                    def _():
+                        @pl.when(flag[l] == 1)
+                        def _():
+                            pltpu.make_async_copy(
+                                wout.at[l, pl.ds(0, 128)],
+                                hbm_out.at[l, pl.ds(0, 128)],
+                                out_sems.at[l],
+                            ).wait()
+
+                        half = _srl(fl, 7) & 1
+                        wout[l, pl.ds(0, 128)] = wv_half(wv, l, half)
+                        off = pl.multiple_of(fl, 128)
+                        pltpu.make_async_copy(
+                            wout.at[l, pl.ds(0, 128)],
+                            hbm_out.at[l, pl.ds(off, 128)],
+                            out_sems.at[l],
+                        ).start()
+                        flag[l] = 1
+            flushed = flushed + 128 * need.astype(I32)
+
+            return (low, high, optr, flushed, c1v, c2v, runv, wv)
+
+        def wv_half(wv, l, half):
+            # select the flushing 128-byte half of lane l's window value
+            lo = wv[l, 0:128]
+            hi = wv[l, 128:256]
+            return jnp.where(half == 0, lo, hi)
+
+        carry = (low, high, optr, flushed, c1v, c2v, runv, jnp.zeros((lanes, 256), I32))
+        carry = jax.lax.fori_loop(0, n_steps, body, carry)
+        low, high, optr, flushed, c1v, c2v, runv, wv = carry
+
+        # final 4 flush bytes (src/libbz3.c:426-433)
+        ones = jnp.ones((lanes, 128), jnp.bool_)
+        for _ in range(4):
+            wv, optr = emit(wv, optr, low, ones)
+            low = low << 8
+
+        olen_ref[...] = optr
+
+        # flush the remainder (< 256 bytes) as two synchronous 128-wide
+        # copies per lane, into the padded tail of the output rows.
+        scal[0] = flushed
+        for l in range(lanes):
+            fl = scal[0, l, 0]
+
+            @pl.when(flag[l] == 1)
+            def _():
+                pltpu.make_async_copy(
+                    wout.at[l, pl.ds(0, 128)],
+                    hbm_out.at[l, pl.ds(0, 128)],
+                    out_sems.at[l],
+                ).wait()
+
+            half = _srl(fl, 7) & 1
+            for part in range(2):
+                wout[l, pl.ds(0, 128)] = wv_half(wv, l, (half + part) & 1)
+                off = pl.multiple_of(fl, 128) + part * 128
+                cp = pltpu.make_async_copy(
+                    wout.at[l, pl.ds(0, 128)],
+                    hbm_out.at[l, pl.ds(off, 128)],
+                    out_sems.at[l],
+                )
+                cp.start()
+                cp.wait()
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("lanes", "n_steps", "w_out", "interpret"))
+def _encode_call(data, ilens, lanes, n_steps, w_out, interpret):
+    kern = _make_encode_kernel(lanes, n_steps, w_out)
+    out, olens = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((lanes, w_out), I32),
+            jax.ShapeDtypeStruct((lanes, 128), I32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((lanes, 256, 256), I32),
+            pltpu.VMEM((lanes, 256), I32),
+            pltpu.VMEM((lanes, 256), I32),
+            pltpu.VMEM((2, lanes, 128), I32),
+            pltpu.VMEM((lanes, 256), I32),
+            pltpu.VMEM((3, lanes, 128), I32),
+            *_c0_shapes(lanes),
+            *_c2_shapes(lanes),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((lanes,)),
+            pltpu.SMEM((lanes,), I32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.broadcast_to(ilens[:, None].astype(I32), (lanes, 128)),
+        data,
+    )
+    return out, olens
+
+
+def cm_encode_pallas_batch(
+    data: jax.Array,
+    lengths: jax.Array,
+    out_width: int | None = None,
+    lanes: int = 16,
+    interpret: bool | None = None,
+):
+    """Drop-in for cm_encode_batch via the Pallas lane kernel.
+
+    data: [K, N] uint8.  Returns (out [K, W] uint8, out_lens [K] i32)
+    with W = out_width or N + N//8 + 64 (cm_encode_batch's contract).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    k_dim, n = data.shape
+    w = out_width if out_width is not None else n + n // 8 + 64
+    n_steps = max(128, -(-n // 128) * 128)
+    w_pad = -(-w // 128) * 128 + 384  # slack for the final 256-wide flush
+    outs = []
+    lens_out = []
+    for g in range(0, k_dim, lanes):
+        rows = min(lanes, k_dim - g)
+        arr = jnp.zeros((lanes, n_steps), I32)
+        arr = arr.at[:rows, :n].set(data[g : g + rows].astype(I32))
+        il = jnp.zeros((lanes,), I32).at[:rows].set(lengths[g : g + rows].astype(I32))
+        out, olens = _encode_call(arr, il, lanes, n_steps, w_pad, interpret)
+        outs.append(out[:rows, :w].astype(jnp.uint8))
+        lens_out.append(olens[:rows, 0])
+    if len(outs) > 1:
+        return jnp.concatenate(outs, axis=0), jnp.concatenate(lens_out, axis=0)
+    return outs[0], lens_out[0]
