@@ -104,7 +104,7 @@ def _process(inp, out, mode, block_size, engine, batch_size, verbose, recover=Fa
             inp,
             out,
             recover=(mode == "recover"),
-            batch_decode=None if mode == "recover" else batch_decode,
+            batch_decode=batch_decode,
             batch_size=batch_size,
         )
         _stats("decode", r, w, verbose)

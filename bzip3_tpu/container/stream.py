@@ -20,9 +20,11 @@ from __future__ import annotations
 import struct
 from typing import BinaryIO, Callable, Iterator
 
+import sys
+
 from .bound import KiB, MiB, bound, validate_block_size
 from ..errors import Bz3Error, BZ3_ERR_MALFORMED_HEADER, BZ3_ERR_TRUNCATED_DATA
-from ..models.block_codec import encode_block, decode_block
+from ..models.block_codec import encode_block, decode_block, decode_block_recover
 from ..ops import ref as _ref_engine
 
 MAGIC = b"BZ3v1"
@@ -146,12 +148,33 @@ def decompress_file(
     def decode_one(payload: bytes, osize: int) -> bytes:
         return decode_block(payload, osize, block_size, engine)
 
+    def recover_one(payload: bytes, osize: int) -> bytes:
+        # Fast path first (a healthy block in a damaged stream decodes
+        # through the configured engine); best-effort partial bytes
+        # otherwise — matching the reference, which writes whatever the
+        # decode left in the buffer ("Writing invalid block",
+        # src/main.c:293-296).
+        if batch_decode is not None:
+            try:
+                return batch_decode([(payload, osize)], block_size)[0]
+            except Bz3Error:
+                pass
+        data, ok = decode_block_recover(payload, osize, block_size, engine)
+        if not ok:
+            print("bzip3: Writing invalid block.", file=sys.stderr)
+        return data
+
     def flush():
         nonlocal bytes_written
         if not pending:
             return
-        if batch_decode is not None:
+        if batch_decode is not None and not recover:
             results = batch_decode(list(pending), block_size)
+        elif batch_decode is not None and recover:
+            try:
+                results = batch_decode(list(pending), block_size)
+            except Bz3Error:
+                results = [recover_one(p, o) for p, o in pending]
         else:
             results = []
             for payload, osize in pending:
@@ -160,10 +183,7 @@ def decompress_file(
                 except Bz3Error:
                     if not recover:
                         raise
-                    # Best-effort: emit what we have, zero-padded
-                    # (the reference writes whatever landed in the
-                    # buffer; we cannot do better portably).
-                    results.append(b"\x00" * osize)
+                    results.append(recover_one(payload, osize))
         for (_, osize), data in zip(pending, results):
             if out is not None and not test_only:
                 out.write(data[:osize])

@@ -221,6 +221,58 @@ def decode_block(
     return cur
 
 
+def decode_block_recover(
+    block: bytes, orig_size: int, block_size: int, engine=_ref_engine
+) -> tuple[bytes, bool]:
+    """Best-effort decode for recover mode (src/main.c:279-299).
+
+    Returns ``(data, ok)``.  On failure ``data`` is whatever the stage
+    pipeline produced before the failing check — the reference writes
+    the partially decoded buffer as-is ("Writing invalid block",
+    main.c:293-296) — truncated/zero-padded to ``orig_size``.
+    """
+    try:
+        return decode_block(block, orig_size, block_size, engine), True
+    except Bz3Error:
+        pass
+
+    cap = bound(block_size)
+    orig_size = max(0, min(orig_size, cap))
+    best = b""
+    try:
+        hdr = parse_block_header(block)
+        if hdr.is_literal:
+            best = block[8 : 8 + 64]
+        else:
+            if hdr.model & 2:
+                sbb = hdr.lzp_size
+            elif hdr.model & 4:
+                sbb = hdr.rle_size
+            else:
+                sbb = orig_size
+            sbb = max(0, min(sbb, cap))
+            payload = block[hdr.header_size() :]
+            best = engine.cm_decode(payload, sbb)
+            if 0 <= hdr.bwt_idx <= len(best):
+                cur = engine.bwt_inverse(best, hdr.bwt_idx)
+                if cur is not None:
+                    best = cur
+            if hdr.model & 2:
+                cur = engine.lzp_decode(best, cap)
+                if cur is not None:
+                    best = cur
+            if hdr.model & 4:
+                cur = engine.rle_decode(best, orig_size)
+                if cur is not None:
+                    best = cur
+    except Exception:
+        pass
+    data = best[:orig_size]
+    if len(data) < orig_size:
+        data = data + b"\x00" * (orig_size - len(data))
+    return data, False
+
+
 class Bz3Codec:
     """Reusable block codec bound to a block size (cf. bz3_new)."""
 

@@ -600,6 +600,11 @@ extern "C" s32 bz3n_bwt_inverse_ex(const u8 *in, u8 *out, s32 n, s32 index, s32 
     s32 sum = 0;
     for (s32 c = 0; c < 257; c++) { start[c] = sum; sum += cnt[c]; }
 
+    // Side allocation for the quad-merge walk; thread_local so every
+    // pthread worker amortizes it across blocks (freed at thread exit).
+    static thread_local std::vector<u64> tl_quad;
+    std::vector<u64> *quad_vec = &tl_quad;
+
     if (n + 1 < (1 << 24) && scratch_words >= 3 * (int64_t)(n + 2) + 2) {
         u32 *node = (u32 *)scratch;  // n+1 u32 entries
         for (s32 j = 0; j < index; j++) node[j] = ((u32)start[in[j] + 1]++ << 8) | in[j];
@@ -622,15 +627,56 @@ extern "C" s32 bz3n_bwt_inverse_ex(const u8 *in, u8 *out, s32 n, s32 index, s32 
             u32 w = node[v >> 8];
             pair[j] = ((u64)(w >> 8) << 16) | ((w & 0xFF) << 8) | (v & 0xFF);
         }
-        s32 k = n - 1;
-        u64 i = pair[0];
-        while (k >= 1) {
-            out[k] = (u8)i;
-            out[k - 1] = (u8)(i >> 8);
-            k -= 2;
-            i = pair[i >> 16];
+        // Quad-merge (one more composition pass): for big blocks the
+        // walk is one dependent miss per FOUR bytes — the libsais
+        // interleaved-decoder ILP idea (include/libsais.h:4618-5068)
+        // realized by chain squaring instead of aux entry points,
+        // which reference streams don't carry.  The quad array is a
+        // demand-grown side allocation so small blocks / tight-memory
+        // paths never pay for it.
+        if (n >= (1 << 18) && quad_vec != nullptr) {
+            quad_vec->resize((size_t)n + 2);
+            u64 *quad = quad_vec->data();
+            for (s32 j = 0; j + 7 <= n; j += 8) {
+                for (s32 q = 0; q < 8; q++) {
+                    u64 v = pair[j + q];
+                    u64 w = pair[v >> 16];
+                    quad[j + q] = ((w >> 16) << 32) | ((u32)(w & 0xFFFF) << 16) |
+                                  (u32)(v & 0xFFFF);
+                }
+            }
+            for (s32 j = n & ~7; j <= n; j++) {
+                u64 v = pair[j];
+                u64 w = pair[v >> 16];
+                quad[j] = ((w >> 16) << 32) | ((u32)(w & 0xFFFF) << 16) |
+                          (u32)(v & 0xFFFF);
+            }
+            s32 k = n - 1;
+            u64 q = quad[0];
+            while (k >= 3) {
+                out[k] = (u8)q;
+                out[k - 1] = (u8)(q >> 8);
+                out[k - 2] = (u8)(q >> 16);
+                out[k - 3] = (u8)(q >> 24);
+                k -= 4;
+                q = quad[q >> 32];
+            }
+            while (k >= 0) {
+                out[k] = (u8)q;
+                q >>= 8;
+                k--;
+            }
+        } else {
+            s32 k = n - 1;
+            u64 i = pair[0];
+            while (k >= 1) {
+                out[k] = (u8)i;
+                out[k - 1] = (u8)(i >> 8);
+                k -= 2;
+                i = pair[i >> 16];
+            }
+            if (k == 0) out[0] = (u8)i;
         }
-        if (k == 0) out[0] = (u8)i;
     } else if (n + 1 < (1 << 24)) {
         u32 *node = (u32 *)scratch;
         for (s32 j = 0; j < index; j++) node[j] = ((u32)start[in[j] + 1]++ << 8) | in[j];
