@@ -32,12 +32,18 @@ Layout (the whole design):
 - The range coder runs in i32 with explicit unsigned-compare helpers;
   the reference's 64-bit product ((high-low) * (ssep*3+p)) >> 18 is
   reproduced with 16-bit limb products and carries (_mul_shift18_i32).
-- Streaming: blocks larger than VMEM stage through HBM.  Decode input
-  refills a per-lane 256-byte circular VMEM window by per-lane DMA
-  (consumption is data-dependent; <= 32 B per byte-step bounds one
-  half-crossing per step).  Encode output mirrors it with per-lane
-  flush DMAs.  The in-lockstep streams (decode output, encode input)
-  move as plain [L, 128] block DMAs every 128 steps, double-buffered.
+
+Streaming (blocks larger than VMEM stage through HBM).  Mosaic DMA
+slices must be sublane-tile aligned, so every per-lane DMA moves one
+whole (8, 128) tile — 1 KiB of stream — between HBM (viewed 4-D as
+[L, chunks, 8, 128]) and a per-lane 2-slot staging window whose lane
+axis is a LEADING (untiled) dim.  On top of that sits a 256-byte
+register carry (two [L, 128] vregs) refreshed by 16-chunk gathers when
+any lane crosses a 128-byte boundary; the data-dependent per-byte
+traffic (decode range refills, encode renorm emissions, <= 32 B per
+byte-step) only ever touches the register carry.  The in-lockstep
+streams (decode output, encode input) move as plain [L, 128] block
+DMAs every 128 steps, double-buffered.
 
 Bit-exactness is enforced against ops/ref/cm.py by tests (interpret
 mode on CPU; the same kernel runs compiled on TPU).
@@ -55,7 +61,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 I32 = jnp.int32
 SIGN = np.int32(-0x80000000)  # 1 << 31 as i32
-TOPX = np.int32((1 << 24) ^ -0x80000000)  # TOP ^ SIGN, for unsigned compares
 
 
 def _ult(a, b):
@@ -98,33 +103,50 @@ def _gather_chunk(tbl, idx):
 
 
 def _gather_wide(tbl, idx):
-    """tbl [L, W] (W = k*128), per-lane gather at idx [L, 128]."""
+    """tbl [L, W] (W = k*128), per-lane gather at idx [L, 128].
+
+    Chunk selection via the shared idx>>7 / idx&127 decomposition: the
+    in-chunk offset is always idx mod 128, so no clipping is needed and
+    each chunk costs one dynamic_gather + one select."""
     w = tbl.shape[1]
+    off = idx & 127
     if w == 128:
-        return _gather_chunk(tbl, jnp.clip(idx, 0, 127))
+        return _gather_chunk(tbl, off)
+    hi = _srl(idx, 7)
     out = jnp.zeros(idx.shape, tbl.dtype)
     for k in range(w // 128):
-        loc = idx - k * 128
-        v = _gather_chunk(tbl[:, k * 128 : (k + 1) * 128], jnp.clip(loc, 0, 127))
-        out = jnp.where((loc >= 0) & (loc < 128), v, out)
+        v = _gather_chunk(tbl[:, k * 128 : (k + 1) * 128], off)
+        out = jnp.where(hi == k, v, out)
     return out
 
 
-def _scatter_wide(ref, updates):
-    """Apply per-lane single-slot updates to a [L, W] VMEM ref.
+def _gather2(lo, hi, idx):
+    """Gather from a 256-deep two-vreg cache (lo | hi), idx in [0, 256)."""
+    a = _gather_chunk(lo, jnp.clip(idx, 0, 127))
+    b = _gather_chunk(hi, jnp.clip(idx - 128, 0, 127))
+    return jnp.where(idx < 128, a, b)
+
+
+def _blend_wide(value, updates):
+    """Apply per-lane single-slot updates to a [L, W] VALUE (pure).
 
     updates: list of (idx [L,128], val [L,128], mask [L,128]) applied
-    in order (later wins).  One read-modify-write pass over the ref.
-    """
-    l_dim, w = ref.shape
+    in order (later wins)."""
+    l_dim, w = value.shape
     col = jax.lax.broadcasted_iota(I32, (l_dim, 128), 1)
+    pre = [(mask & (col == (idx & 127)), _srl(idx, 7), val) for idx, val, mask in updates]
+    cols = []
     for k in range(w // 128):
-        chunk = ref[:, k * 128 : (k + 1) * 128]
-        for idx, val, mask in updates:
-            loc = idx - k * 128
-            m = mask & (col == loc)
-            chunk = jnp.where(m, val, chunk)
-        ref[:, k * 128 : (k + 1) * 128] = chunk
+        chunk = value[:, k * 128 : (k + 1) * 128]
+        for m, hi, val in pre:
+            chunk = jnp.where(m & (hi == k), val, chunk)
+        cols.append(chunk)
+    return jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
+
+
+def _scatter_wide(ref, updates):
+    """Read-modify-write per-lane single-slot updates into a VMEM ref."""
+    ref[...] = _blend_wide(ref[...], updates)
 
 
 def _c2_init(shape):
@@ -133,25 +155,6 @@ def _c2_init(shape):
     idx = jax.lax.broadcasted_iota(I32, shape, 1)
     k = idx - 17 * ((idx * 61681) >> 20)
     return (k << 12) - (k == 16).astype(I32)
-
-
-def _predict(c0t, rowa, rowb, ctx, f, t):
-    """One bit's prediction reads (reference src/libbz3.c:376-387)."""
-    rel = ctx - (1 << t)
-    p0 = _gather_chunk(c0t, rel)
-    p1 = _gather_wide(rowa, ctx)
-    p2 = _gather_wide(rowb, ctx)
-    p = ((p0 + p1) * 7 + p2 + p2) >> 4
-    j = p >> 12
-    sse_rel = (2 * rel + f) * 17 + j
-    return p0, p1, p, sse_rel
-
-
-def _sse(c2t, sse_rel, p):
-    x1 = _gather_wide(c2t, sse_rel)
-    x2 = _gather_wide(c2t, sse_rel + 1)
-    ssep = x1 + (((x2 - x1) * (p & 4095)) >> 12)
-    return x1, x2, ssep
 
 
 def _upd(bit, p0, p1, x1, x2):
@@ -163,16 +166,13 @@ def _upd(bit, p0, p1, x1, x2):
     return u0, u1, v1, v2
 
 
-def _apply_deferred(c0, c2, rowa, defer, active):
-    """Flush one byte's deferred counter updates into the table refs."""
-    rowa_ups = []
+def _init_tables(c0, c1, c2, rowa, rowb):
     for t in range(8):
-        ctx, sse_rel, u0, u1, v1, v2, mask = defer[t]
-        m = mask & active
-        _scatter_wide(c0[t], [(ctx - (1 << t), u0, m)])
-        _scatter_wide(c2[t], [(sse_rel, v1, m), (sse_rel + 1, v2, m)])
-        rowa_ups.append((ctx, u1, m))
-    _scatter_wide(rowa, rowa_ups)
+        c0[t][...] = jnp.full(c0[t].shape, 1 << 15, I32)
+        c2[t][...] = _c2_init(c2[t].shape)
+    c1[...] = jnp.full(c1.shape, 1 << 15, I32)
+    rowa[...] = jnp.full(rowa.shape, 1 << 15, I32)
+    rowb[...] = jnp.full(rowb.shape, 1 << 15, I32)
 
 
 def _rotate_c1_rows(c1, rowa, rowb, scal, c1_old, c1_new, active, lanes):
@@ -201,24 +201,42 @@ def _rotate_c1_rows(c1, rowa, rowb, scal, c1_old, c1_new, active, lanes):
             c1[l, o, :] = rowa[l, :]
 
 
+def _win_gather(win, lanes, base):
+    """Refresh the 256-byte register carry from the [L, 2, 8, 128]
+    staging window: returns (lo, hi) = window bytes [base, base+256).
+    The window holds absolute bytes [fh-2048, fh) at slot (a>>10)&1,
+    sub (a>>7)&7, lane a&127."""
+    col = jax.lax.broadcasted_iota(I32, (lanes, 128), 1)
+    outs = []
+    for half in range(2):
+        idx = base + half * 128 + col  # absolute byte positions
+        sel = _srl(idx, 7) & 15  # (slot, sub) combined
+        v = jnp.zeros((lanes, 128), I32)
+        for s in range(16):
+            chunk = win[s >> 3, :, s & 7, :]  # [L, 128] static slice
+            v = jnp.where(sel == s, _gather_chunk(chunk, idx & 127), v)
+        outs.append(v)
+    return outs[0], outs[1]
+
+
 # ---------------------------------------------------------------------------
 # Decode kernel
 # ---------------------------------------------------------------------------
 
 
-def _make_decode_kernel(lanes, n_steps, m_in):
+def _make_decode_kernel(lanes, n_steps, in_chunks):
     n_flushes = n_steps // 128
 
     def kernel(
         plen_ref,  # VMEM [L, 128] i32 (row-constant payload lengths)
         olen_ref,  # VMEM [L, 128] i32 (row-constant output lengths)
-        hbm_in,  # ANY  [L, m_in] i32 (payload bytes, one per slot)
+        hbm_in,  # ANY  [2, L, in_chunks/2... ] see call: [2, lanes, ...]
         hbm_out,  # ANY  [L, n_steps] i32 (decoded bytes out)
         # scratch:
         c1,  # VMEM [L, 256, 256] i32
         rowa,  # VMEM [L, 256]
         rowb,  # VMEM [L, 256]
-        win,  # VMEM [L, 256] input window
+        win,  # VMEM [2, L, 8, 128] input staging (slot-leading)
         ob,  # VMEM [2, L, 128] output staging
         scal,  # VMEM [3, L, 128] scalar bridge
         c0_0, c0_1, c0_2, c0_3, c0_4, c0_5, c0_6, c0_7,
@@ -231,21 +249,11 @@ def _make_decode_kernel(lanes, n_steps, m_in):
         plen = plen_ref[...]
         olen = olen_ref[...]
 
-        # ---- init tables ------------------------------------------------
-        for t in range(8):
-            c0[t][...] = jnp.full(c0[t].shape, 1 << 15, I32)
-            c2[t][...] = _c2_init(c2[t].shape)
-        c1[...] = jnp.full(c1.shape, 1 << 15, I32)
-        rowa[...] = jnp.full(rowa.shape, 1 << 15, I32)
-        rowb[...] = jnp.full(rowb.shape, 1 << 15, I32)
+        _init_tables(c0, c1, c2, rowa, rowb)
 
-        # ---- initial input window: two half DMAs ------------------------
+        # ---- initial input window: chunks 0 and 1, all lanes ---------
         for h in range(2):
-            cp = pltpu.make_async_copy(
-                hbm_in.at[:, pl.ds(h * 128, 128)],
-                win.at[:, pl.ds(h * 128, 128)],
-                in_sems.at[0],
-            )
+            cp = pltpu.make_async_copy(hbm_in.at[h, :, 0], win.at[h], in_sems.at[0])
             cp.start()
             cp.wait()
 
@@ -254,14 +262,16 @@ def _make_decode_kernel(lanes, n_steps, m_in):
         high = jnp.full((lanes, 128), -1, I32)
         code = zeros
         ip = zeros
-        fh = jnp.full((lanes, 128), 256, I32)  # filled_hi (absolute)
+        base = zeros
+        fh = jnp.full((lanes, 128), 2048, I32)  # staged-high (absolute)
+        wlo, whi = _win_gather(win, lanes, base)
 
-        def read_byte(ipv):
-            b = _gather_wide(win, ipv & 255)
+        def read_byte(wlo, whi, base, ipv):
+            b = _gather2(wlo, whi, ipv - base)
             return jnp.where(ipv < plen, b, jnp.int32(-1))
 
         for _ in range(4):
-            code = (code << 8) + read_byte(ip)
+            code = (code << 8) + read_byte(wlo, whi, base, ip)
             ip = ip + 1
 
         c1v = zeros
@@ -269,35 +279,73 @@ def _make_decode_kernel(lanes, n_steps, m_in):
         runv = zeros
 
         def body(i, carry):
-            low, high, code, ip, fh, c1v, c2v, runv, obuf = carry
+            low, high, code, ip, base, fh, wlo, whi, c1v, c2v, runv, obuf = carry
             active = i < olen
             runv = jnp.where(active, jnp.where(c1v == c2v, runv + 1, 0), runv)
             f = (runv > 2).astype(I32)
 
+            # rowA/rowB are constant within the byte (updates deferred),
+            # so their values are hoisted out of the bit loop.
+            rowa_v = rowa[...]
+            rowb_v = rowb[...]
+            col128 = jax.lax.broadcasted_iota(I32, (lanes, 128), 1)
             ctx = jnp.ones((lanes, 128), I32)
-            defer = [None] * 8
+            rowa_ups = []
             for t in range(8):
-                p0, p1, p, sse_rel = _predict(c0[t][...], rowa[...], rowb[...], ctx, f, t)
-                x1, x2, ssep = _sse(c2[t][...], sse_rel, p)
+                c0tv = c0[t][...]
+                c2tv = c2[t][...]
+                rel = ctx - (1 << t)  # in [0, 2^t) — single-chunk index
+                p0 = _gather_chunk(c0tv, rel)
+                p1 = _gather_wide(rowa_v, ctx)
+                p2 = _gather_wide(rowb_v, ctx)
+                p = ((p0 + p1) * 7 + p2 + p2) >> 4
+                j = p >> 12
+                sse_rel = (2 * rel + f) * 17 + j
+                x1 = _gather_wide(c2tv, sse_rel)
+                x2 = _gather_wide(c2tv, sse_rel + 1)
+                ssep = x1 + (((x2 - x1) * (p & 4095)) >> 12)
                 step = _mul_shift18_i32(high - low, ssep * 3 + p)
                 mid = low + step
                 bit = _ule(code, mid)
                 high = jnp.where(bit & active, mid, high)
                 low = jnp.where((~bit) & active, mid + 1, low)
-                # renormalize (unrolled 4: a 32-bit range refills at most
-                # 4 bytes per bit, src/libbz3.c:443-449)
-                for _ in range(4):
-                    do = active & _ult(low ^ high, jnp.int32(1 << 24))
-                    nb = read_byte(ip)
-                    low = jnp.where(do, low << 8, low)
-                    high = jnp.where(do, (high << 8) | 0xFF, high)
-                    code = jnp.where(do, (code << 8) + nb, code)
-                    ip = ip + do.astype(I32)
+                # renormalize: first slot inline; the rare extra slots
+                # (a bit-code rarely consumes > 1 byte) behind a cond.
+                do = active & _ult(low ^ high, jnp.int32(1 << 24))
+                nb = read_byte(wlo, whi, base, ip)
+                low = jnp.where(do, low << 8, low)
+                high = jnp.where(do, (high << 8) | 0xFF, high)
+                code = jnp.where(do, (code << 8) + nb, code)
+                ip = ip + do.astype(I32)
+
+                def _more_renorm(low, high, code, ip):
+                    for _ in range(3):
+                        d = active & _ult(low ^ high, jnp.int32(1 << 24))
+                        b2 = read_byte(wlo, whi, base, ip)
+                        low = jnp.where(d, low << 8, low)
+                        high = jnp.where(d, (high << 8) | 0xFF, high)
+                        code = jnp.where(d, (code << 8) + b2, code)
+                        ip = ip + d.astype(I32)
+                    return low, high, code, ip
+
+                low, high, code, ip = jax.lax.cond(
+                    jnp.any(active & _ult(low ^ high, jnp.int32(1 << 24))),
+                    _more_renorm,
+                    lambda low, high, code, ip: (low, high, code, ip),
+                    low, high, code, ip,
+                )
+                # C0_t / C2_t are private to bit t: update them inline on
+                # the loaded values (no cross-bit dependency); only rowA
+                # updates are deferred to the byte boundary.
                 u0, u1, v1, v2 = _upd(bit, p0, p1, x1, x2)
-                defer[t] = (ctx, sse_rel, u0, u1, v1, v2, active)
+                c0[t][...] = jnp.where(active & (col128 == rel), u0, c0tv)
+                c2[t][...] = _blend_wide(
+                    c2tv, [(sse_rel, v1, active), (sse_rel + 1, v2, active)]
+                )
+                rowa_ups.append((ctx, u1, active))
                 ctx = ctx + ctx + bit.astype(I32)
 
-            _apply_deferred(c0, c2, rowa, defer, active)
+            rowa[...] = _blend_wide(rowa_v, rowa_ups)
 
             byte = ctx & 255
             obuf = jnp.where(
@@ -327,42 +375,52 @@ def _make_decode_kernel(lanes, n_steps, m_in):
                     ob.at[slot], hbm_out.at[:, pl.ds(i - 127, 128)], out_sems.at[slot]
                 ).start()
 
-            # ---- input refill when any lane runs low --------------------
-            need = active & (fh - ip < 64)
+            # ---- staging refill: any lane within 512 B of staged-high ---
+            need_dma = active & (ip < plen) & (fh - ip < 512) & ((fh >> 10) < in_chunks)
 
-            @pl.when(jnp.any(need))
+            @pl.when(jnp.any(need_dma))
             def _():
                 scal[0] = fh
-                scal[1] = need.astype(I32)
+                scal[1] = need_dma.astype(I32)
                 for l in range(lanes):
                     fl = scal[0, l, 0]
                     nd = scal[1, l, 0]
 
-                    @pl.when((nd == 1) & (fl + 128 <= m_in))
+                    @pl.when(nd == 1)
                     def _():
-                        off = pl.multiple_of(fl, 128)
+                        chunk = _srl(fl, 10)
                         pltpu.make_async_copy(
-                            hbm_in.at[l, pl.ds(off, 128)],
-                            win.at[l, pl.ds(off & 255, 128)],
+                            hbm_in.at[chunk & 1, l, _srl(chunk, 1)],
+                            win.at[chunk & 1, l],
                             in_sems.at[l],
                         ).start()
                 for l in range(lanes):
                     fl = scal[0, l, 0]
                     nd = scal[1, l, 0]
 
-                    @pl.when((nd == 1) & (fl + 128 <= m_in))
+                    @pl.when(nd == 1)
                     def _():
-                        off = pl.multiple_of(fl, 128)
+                        chunk = _srl(fl, 10)
                         pltpu.make_async_copy(
-                            hbm_in.at[l, pl.ds(off, 128)],
-                            win.at[l, pl.ds(off & 255, 128)],
+                            hbm_in.at[chunk & 1, l, _srl(chunk, 1)],
+                            win.at[chunk & 1, l],
                             in_sems.at[l],
                         ).wait()
-            fh = fh + 128 * (need & (fh + 128 <= m_in)).astype(I32)
+            fh = fh + 1024 * need_dma.astype(I32)
 
-            return (low, high, code, ip, fh, c1v, c2v, runv, obuf)
+            # ---- register-carry refresh when any lane crossed 128 -------
+            need_r = (ip - base) >= 128
+            base2 = base + 128 * need_r.astype(I32)
+            any_r = jnp.any(need_r)
+            wlo2, whi2 = jax.lax.cond(
+                any_r,
+                lambda: _win_gather(win, lanes, base2),
+                lambda: (wlo, whi),
+            )
 
-        carry = (low, high, code, ip, fh, c1v, c2v, runv, zeros)
+            return (low, high, code, ip, base2, fh, wlo2, whi2, c1v, c2v, runv, obuf)
+
+        carry = (low, high, code, ip, base, fh, wlo, whi, c1v, c2v, runv, zeros)
         carry = jax.lax.fori_loop(0, n_steps, body, carry)
 
         # drain outstanding output DMAs
@@ -392,9 +450,10 @@ def _c0_shapes(lanes):
     return [pltpu.VMEM((lanes, 128), I32) for _ in range(8)]
 
 
-@partial(jax.jit, static_argnames=("lanes", "n_steps", "m_in", "interpret"))
-def _decode_call(payload, plens, olens, lanes, n_steps, m_in, interpret):
-    kern = _make_decode_kernel(lanes, n_steps, m_in)
+@partial(jax.jit, static_argnames=("lanes", "n_steps", "in_chunks", "interpret"))
+def _decode_call(payload, plens, olens, lanes, n_steps, in_chunks, interpret):
+    """payload: [2, lanes, in_chunks//2, 8, 128] i32 (slot-split view)."""
+    kern = _make_decode_kernel(lanes, n_steps, in_chunks)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((lanes, n_steps), I32),
@@ -408,7 +467,7 @@ def _decode_call(payload, plens, olens, lanes, n_steps, m_in, interpret):
             pltpu.VMEM((lanes, 256, 256), I32),
             pltpu.VMEM((lanes, 256), I32),
             pltpu.VMEM((lanes, 256), I32),
-            pltpu.VMEM((lanes, 256), I32),
+            pltpu.VMEM((2, lanes, 8, 128), I32),
             pltpu.VMEM((2, lanes, 128), I32),
             pltpu.VMEM((3, lanes, 128), I32),
             *_c0_shapes(lanes),
@@ -430,7 +489,7 @@ def cm_decode_pallas_batch(
     in_lens: jax.Array,
     out_lens: jax.Array,
     out_width: int,
-    lanes: int = 16,
+    lanes: int = 8,
     interpret: bool | None = None,
 ):
     """Drop-in for cm_decode_batch via the Pallas lane kernel.
@@ -442,15 +501,18 @@ def cm_decode_pallas_batch(
         interpret = jax.default_backend() == "cpu"
     k_dim, m = data.shape
     n_steps = max(128, -(-out_width // 128) * 128)
-    m_in = max(256, -(-(m + 64) // 128) * 128) + 128
+    m_in = max(2048, -(-(m + 64) // 2048) * 2048) + 2048
+    in_chunks = m_in // 1024  # even by construction (2 KiB rounding)
     outs = []
     for g in range(0, k_dim, lanes):
         rows = min(lanes, k_dim - g)
         pay = jnp.zeros((lanes, m_in), I32)
         pay = pay.at[:rows, :m].set(data[g : g + rows].astype(I32))
+        # slot-split 5-D view: [2 slots, L, chunk-pairs, 8, 128]
+        pay = pay.reshape(lanes, in_chunks // 2, 2, 8, 128).transpose(2, 0, 1, 3, 4)
         pl_ = jnp.zeros((lanes,), I32).at[:rows].set(in_lens[g : g + rows].astype(I32))
         ol = jnp.zeros((lanes,), I32).at[:rows].set(out_lens[g : g + rows].astype(I32))
-        out = _decode_call(pay, pl_, ol, lanes, n_steps, m_in, interpret)
+        out = _decode_call(pay, pl_, ol, lanes, n_steps, in_chunks, interpret)
         outs.append(out[:rows, :out_width].astype(jnp.uint8))
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
@@ -460,35 +522,27 @@ def cm_decode_pallas_batch(
 # ---------------------------------------------------------------------------
 
 
-def _make_encode_kernel(lanes, n_steps, w_out):
+def _make_encode_kernel(lanes, n_steps, out_chunks):
     def kernel(
         ilen_ref,  # VMEM [L, 128] i32 input lengths
         hbm_in,  # ANY [L, n_steps] i32 input bytes
-        hbm_out,  # ANY [L, w_out] i32 output bytes
+        hbm_out,  # ANY [2, L, out_chunks//2, 8, 128] i32 (slot-split)
         olen_ref,  # VMEM [L, 128] i32 output lengths (out)
         # scratch
         c1, rowa, rowb,
         ib,  # VMEM [2, L, 128] input staging
-        wout,  # VMEM [L, 256] output window staging
+        wst,  # VMEM [2, L, 8, 128] output staging (slot-leading)
         scal,  # VMEM [3, L, 128]
         c0_0, c0_1, c0_2, c0_3, c0_4, c0_5, c0_6, c0_7,
         c2_0, c2_1, c2_2, c2_3, c2_4, c2_5, c2_6, c2_7,
         in_sems,  # DMA [2]
         out_sems,  # DMA [L]
-        flag,  # SMEM [L] — lane has an outstanding flush DMA
     ):
         c0 = [c0_0, c0_1, c0_2, c0_3, c0_4, c0_5, c0_6, c0_7]
         c2 = [c2_0, c2_1, c2_2, c2_3, c2_4, c2_5, c2_6, c2_7]
         ilen = ilen_ref[...]
 
-        for t in range(8):
-            c0[t][...] = jnp.full(c0[t].shape, 1 << 15, I32)
-            c2[t][...] = _c2_init(c2[t].shape)
-        c1[...] = jnp.full(c1.shape, 1 << 15, I32)
-        rowa[...] = jnp.full(rowa.shape, 1 << 15, I32)
-        rowb[...] = jnp.full(rowb.shape, 1 << 15, I32)
-        for l in range(lanes):
-            flag[l] = 0
+        _init_tables(c0, c1, c2, rowa, rowb)
 
         # prime the input pipeline
         pltpu.make_async_copy(
@@ -503,15 +557,14 @@ def _make_encode_kernel(lanes, n_steps, w_out):
         low = zeros
         high = jnp.full((lanes, 128), -1, I32)
         optr = zeros
-        flushed = zeros
+        moved = zeros  # bytes moved from the register carry into staging
         c1v = zeros
         c2v = zeros
         runv = zeros
-        col_iota = jax.lax.broadcasted_iota(I32, (lanes, 128), 1)
         wcol_iota = jax.lax.broadcasted_iota(I32, (lanes, 256), 1)
 
         def emit(wv, optr, low, do):
-            """Blend (low >> 24) into the 256-circular window at optr."""
+            """Blend (low >> 24) into the 256-circular carry at optr."""
             b = _srl(low, 24)
             loc = optr & 255
             m = jnp.broadcast_to(do[:, :1], (lanes, 256)) & (
@@ -520,13 +573,17 @@ def _make_encode_kernel(lanes, n_steps, w_out):
             wv = jnp.where(m, jnp.broadcast_to(b[:, :1], (lanes, 256)), wv)
             return wv, optr + do.astype(I32)
 
+        def wv_half(wv, l, sel):
+            lo = wv[l, 0:128]
+            hi = wv[l, 128:256]
+            return jnp.where(sel == 0, lo, hi)
+
         def body(i, carry):
-            low, high, optr, flushed, c1v, c2v, runv, wv = carry
+            low, high, optr, moved, c1v, c2v, runv, wv = carry
             active = i < ilen
 
             # chunk k's DMA (primed at k-1 or at kernel start) must land
-            # before its first byte is read; then prefetch chunk k+1
-            # into the other slot (k=0's successor was primed already).
+            # before its first byte is read; then prefetch chunk k+1.
             @pl.when((i & 127) == 0)
             def _():
                 k = i >> 7
@@ -552,78 +609,99 @@ def _make_encode_kernel(lanes, n_steps, w_out):
             f = (runv > 2).astype(I32)
 
             c = cbyte & 255
+            rowa_v = rowa[...]
+            rowb_v = rowb[...]
+            col128 = jax.lax.broadcasted_iota(I32, (lanes, 128), 1)
             ctx = jnp.ones((lanes, 128), I32)
-            defer = [None] * 8
+            rowa_ups = []
             for t in range(8):
-                p0, p1, p, sse_rel = _predict(c0[t][...], rowa[...], rowb[...], ctx, f, t)
-                x1, x2, ssep = _sse(c2[t][...], sse_rel, p)
+                c0tv = c0[t][...]
+                c2tv = c2[t][...]
+                rel = ctx - (1 << t)
+                p0 = _gather_chunk(c0tv, rel)
+                p1 = _gather_wide(rowa_v, ctx)
+                p2 = _gather_wide(rowb_v, ctx)
+                p = ((p0 + p1) * 7 + p2 + p2) >> 4
+                j = p >> 12
+                sse_rel = (2 * rel + f) * 17 + j
+                x1 = _gather_wide(c2tv, sse_rel)
+                x2 = _gather_wide(c2tv, sse_rel + 1)
+                ssep = x1 + (((x2 - x1) * (p & 4095)) >> 12)
                 bit = (c & 128) != 0
                 step = _mul_shift18_i32(high - low, ssep * 3 + p)
                 high = jnp.where(bit & active, low + step, high)
                 low = jnp.where((~bit) & active, low + step + 1, low)
-                for _ in range(4):
-                    do = active & _ult(low ^ high, jnp.int32(1 << 24))
-                    wv, optr = emit(wv, optr, low, do)
-                    low = jnp.where(do, low << 8, low)
-                    high = jnp.where(do, (high << 8) | 0xFF, high)
+                # renormalize/emit: first slot inline, rare extras gated.
+                do = active & _ult(low ^ high, jnp.int32(1 << 24))
+                wv, optr = emit(wv, optr, low, do)
+                low = jnp.where(do, low << 8, low)
+                high = jnp.where(do, (high << 8) | 0xFF, high)
+
+                def _more_emit(wv, optr, low, high):
+                    for _ in range(3):
+                        d = active & _ult(low ^ high, jnp.int32(1 << 24))
+                        wv, optr = emit(wv, optr, low, d)
+                        low = jnp.where(d, low << 8, low)
+                        high = jnp.where(d, (high << 8) | 0xFF, high)
+                    return wv, optr, low, high
+
+                wv, optr, low, high = jax.lax.cond(
+                    jnp.any(active & _ult(low ^ high, jnp.int32(1 << 24))),
+                    _more_emit,
+                    lambda wv, optr, low, high: (wv, optr, low, high),
+                    wv, optr, low, high,
+                )
                 u0, u1, v1, v2 = _upd(bit, p0, p1, x1, x2)
-                defer[t] = (ctx, sse_rel, u0, u1, v1, v2, active)
+                c0[t][...] = jnp.where(active & (col128 == rel), u0, c0tv)
+                c2[t][...] = _blend_wide(
+                    c2tv, [(sse_rel, v1, active), (sse_rel + 1, v2, active)]
+                )
+                rowa_ups.append((ctx, u1, active))
                 ctx = ctx + ctx + bit.astype(I32)
                 c = (c << 1) & 0xFF
 
-            _apply_deferred(c0, c2, rowa, defer, active)
+            rowa[...] = _blend_wide(rowa_v, rowa_ups)
 
             c1o = c1v
             c2v = jnp.where(active, c1v, c2v)
             c1v = jnp.where(active, ctx & 255, c1v)
             _rotate_c1_rows(c1, rowa, rowb, scal, c1o, c1v, active, lanes)
 
-            # ---- flush lanes whose window half filled -------------------
-            # All per-lane output DMAs are 128 wide from wout[l, 0:128],
-            # so a wait's reconstructed descriptor always byte-matches
-            # the outstanding start regardless of the HBM offset.
-            need = (optr - flushed) >= 128
+            # ---- move filled carry halves into staging ------------------
+            need = (optr - moved) >= 128
 
             @pl.when(jnp.any(need))
             def _():
-                scal[0] = flushed
+                scal[0] = moved
                 scal[1] = need.astype(I32)
                 for l in range(lanes):
-                    fl = scal[0, l, 0]
+                    mv = scal[0, l, 0]
                     nd = scal[1, l, 0]
 
                     @pl.when(nd == 1)
                     def _():
-                        @pl.when(flag[l] == 1)
+                        chunk = _srl(mv, 10)
+                        sub = _srl(mv, 7) & 7
+                        sel = _srl(mv, 7) & 1  # which carry half is full
+                        wst[chunk & 1, l, sub, :] = wv_half(wv, l, sel)
+
+                        # staged the 8th sub-tile: DMA the 1 KiB slot out
+                        @pl.when(sub == 7)
                         def _():
-                            pltpu.make_async_copy(
-                                wout.at[l, pl.ds(0, 128)],
-                                hbm_out.at[l, pl.ds(0, 128)],
+                            cp = pltpu.make_async_copy(
+                                wst.at[chunk & 1, l],
+                                hbm_out.at[chunk & 1, l, _srl(chunk, 1)],
                                 out_sems.at[l],
-                            ).wait()
+                            )
+                            cp.start()
+                            cp.wait()
+            moved = moved + 128 * need.astype(I32)
 
-                        half = _srl(fl, 7) & 1
-                        wout[l, pl.ds(0, 128)] = wv_half(wv, l, half)
-                        off = pl.multiple_of(fl, 128)
-                        pltpu.make_async_copy(
-                            wout.at[l, pl.ds(0, 128)],
-                            hbm_out.at[l, pl.ds(off, 128)],
-                            out_sems.at[l],
-                        ).start()
-                        flag[l] = 1
-            flushed = flushed + 128 * need.astype(I32)
+            return (low, high, optr, moved, c1v, c2v, runv, wv)
 
-            return (low, high, optr, flushed, c1v, c2v, runv, wv)
-
-        def wv_half(wv, l, half):
-            # select the flushing 128-byte half of lane l's window value
-            lo = wv[l, 0:128]
-            hi = wv[l, 128:256]
-            return jnp.where(half == 0, lo, hi)
-
-        carry = (low, high, optr, flushed, c1v, c2v, runv, jnp.zeros((lanes, 256), I32))
+        carry = (low, high, optr, moved, c1v, c2v, runv, jnp.zeros((lanes, 256), I32))
         carry = jax.lax.fori_loop(0, n_steps, body, carry)
-        low, high, optr, flushed, c1v, c2v, runv, wv = carry
+        low, high, optr, moved, c1v, c2v, runv, wv = carry
 
         # final 4 flush bytes (src/libbz3.c:426-433)
         ones = jnp.ones((lanes, 128), jnp.bool_)
@@ -633,42 +711,41 @@ def _make_encode_kernel(lanes, n_steps, w_out):
 
         olen_ref[...] = optr
 
-        # flush the remainder (< 256 bytes) as two synchronous 128-wide
-        # copies per lane, into the padded tail of the output rows.
-        scal[0] = flushed
+        # drain: move remaining carry halves (< 2 full + partial) into
+        # staging and DMA every touched slot.  Stale staging bytes past
+        # optr land in the padded output region — harmless.
+        scal[0] = moved
+        scal[1] = optr
         for l in range(lanes):
-            fl = scal[0, l, 0]
+            mv0 = scal[0, l, 0]
+            op = scal[1, l, 0]
+            for it in range(3):  # ceil(260/128) + 1 safety
+                mv = mv0 + it * 128
 
-            @pl.when(flag[l] == 1)
-            def _():
-                pltpu.make_async_copy(
-                    wout.at[l, pl.ds(0, 128)],
-                    hbm_out.at[l, pl.ds(0, 128)],
-                    out_sems.at[l],
-                ).wait()
-
-            half = _srl(fl, 7) & 1
-            for part in range(2):
-                wout[l, pl.ds(0, 128)] = wv_half(wv, l, (half + part) & 1)
-                off = pl.multiple_of(fl, 128) + part * 128
-                cp = pltpu.make_async_copy(
-                    wout.at[l, pl.ds(0, 128)],
-                    hbm_out.at[l, pl.ds(off, 128)],
-                    out_sems.at[l],
-                )
-                cp.start()
-                cp.wait()
+                @pl.when(mv < op)
+                def _():
+                    chunk = _srl(mv, 10)
+                    sub = _srl(mv, 7) & 7
+                    sel = _srl(mv, 7) & 1
+                    wst[chunk & 1, l, sub, :] = wv_half(wv, l, sel)
+                    cp = pltpu.make_async_copy(
+                        wst.at[chunk & 1, l],
+                        hbm_out.at[chunk & 1, l, _srl(chunk, 1)],
+                        out_sems.at[l],
+                    )
+                    cp.start()
+                    cp.wait()
 
     return kernel
 
 
-@partial(jax.jit, static_argnames=("lanes", "n_steps", "w_out", "interpret"))
-def _encode_call(data, ilens, lanes, n_steps, w_out, interpret):
-    kern = _make_encode_kernel(lanes, n_steps, w_out)
+@partial(jax.jit, static_argnames=("lanes", "n_steps", "out_chunks", "interpret"))
+def _encode_call(data, ilens, lanes, n_steps, out_chunks, interpret):
+    kern = _make_encode_kernel(lanes, n_steps, out_chunks)
     out, olens = pl.pallas_call(
         kern,
         out_shape=(
-            jax.ShapeDtypeStruct((lanes, w_out), I32),
+            jax.ShapeDtypeStruct((2, lanes, out_chunks // 2, 8, 128), I32),
             jax.ShapeDtypeStruct((lanes, 128), I32),
         ),
         in_specs=[
@@ -684,13 +761,12 @@ def _encode_call(data, ilens, lanes, n_steps, w_out, interpret):
             pltpu.VMEM((lanes, 256), I32),
             pltpu.VMEM((lanes, 256), I32),
             pltpu.VMEM((2, lanes, 128), I32),
-            pltpu.VMEM((lanes, 256), I32),
+            pltpu.VMEM((2, lanes, 8, 128), I32),
             pltpu.VMEM((3, lanes, 128), I32),
             *_c0_shapes(lanes),
             *_c2_shapes(lanes),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((lanes,)),
-            pltpu.SMEM((lanes,), I32),
         ],
         interpret=interpret,
     )(
@@ -704,7 +780,7 @@ def cm_encode_pallas_batch(
     data: jax.Array,
     lengths: jax.Array,
     out_width: int | None = None,
-    lanes: int = 16,
+    lanes: int = 8,
     interpret: bool | None = None,
 ):
     """Drop-in for cm_encode_batch via the Pallas lane kernel.
@@ -717,7 +793,10 @@ def cm_encode_pallas_batch(
     k_dim, n = data.shape
     w = out_width if out_width is not None else n + n // 8 + 64
     n_steps = max(128, -(-n // 128) * 128)
-    w_pad = -(-w // 128) * 128 + 384  # slack for the final 256-wide flush
+    out_chunks = -(-(w + 1536) // 1024)  # 1 KiB chunks with drain slack
+    if out_chunks % 2:
+        out_chunks += 1
+    w_pad = out_chunks * 1024
     outs = []
     lens_out = []
     for g in range(0, k_dim, lanes):
@@ -725,7 +804,9 @@ def cm_encode_pallas_batch(
         arr = jnp.zeros((lanes, n_steps), I32)
         arr = arr.at[:rows, :n].set(data[g : g + rows].astype(I32))
         il = jnp.zeros((lanes,), I32).at[:rows].set(lengths[g : g + rows].astype(I32))
-        out, olens = _encode_call(arr, il, lanes, n_steps, w_pad, interpret)
+        out, olens = _encode_call(arr, il, lanes, n_steps, out_chunks, interpret)
+        # unsplit the slot-major 5-D output back to [L, w_pad]
+        out = out.transpose(1, 2, 0, 3, 4).reshape(lanes, w_pad)
         outs.append(out[:rows, :w].astype(jnp.uint8))
         lens_out.append(olens[:rows, 0])
     if len(outs) > 1:

@@ -43,12 +43,17 @@ def sharded_encode_core(mesh: Mesh):
     """shard_map'd encode stages; batch axis K must divide the mesh."""
 
     def _core(orig, orig_lens, cur, cur_lens):
-        from ..pipeline import _CM_PARALLEL_MAX_N
+        from ..pipeline import _CM_PARALLEL_MAX_N, _cm_impl
         from ..ops.device.cm_parallel import cm_encode_parallel_batch
 
         crc = crc32_batch(orig, orig_lens)
         u, idx = bwt_forward_batch(cur, cur_lens)
-        if cur.shape[1] <= _CM_PARALLEL_MAX_N:
+        if _cm_impl() == "pallas":
+            from ..ops.device.cm_pallas import cm_encode_pallas_batch
+
+            payload, plens = cm_encode_pallas_batch(u, cur_lens)
+            ok = plens <= payload.shape[1]
+        elif cur.shape[1] <= _CM_PARALLEL_MAX_N:
             payload, plens, ok = cm_encode_parallel_batch(u, cur_lens)
         else:
             payload, plens = cm_encode_batch(u, cur_lens)
@@ -69,7 +74,14 @@ def sharded_encode_core(mesh: Mesh):
 
 def sharded_decode_core(mesh: Mesh, out_width: int):
     def _core(payload, payload_lens, sbb_lens, bwt_idx):
-        u = cm_decode_batch(payload, payload_lens, sbb_lens, out_width)
+        from ..pipeline import _cm_impl
+
+        if _cm_impl() == "pallas":
+            from ..ops.device.cm_pallas import cm_decode_pallas_batch
+
+            u = cm_decode_pallas_batch(payload, payload_lens, sbb_lens, out_width)
+        else:
+            u = cm_decode_batch(payload, payload_lens, sbb_lens, out_width)
         data = bwt_inverse_batch(u, sbb_lens, bwt_idx)
         crc = crc32_batch(data, sbb_lens)
         return data, crc

@@ -24,6 +24,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import os
+
 from .container.bound import bound, SMALL_BLOCK_THRESHOLD
 from .errors import Bz3Error, BZ3_ERR_BWT, BZ3_ERR_CRC, BZ3_ERR_MALFORMED_HEADER
 from .models.block_codec import parse_block_header
@@ -35,6 +37,18 @@ from .ops.device.cm_parallel import cm_encode_parallel_batch
 # The parallel CM encoder materializes ~50 bytes of event state per
 # input byte; above this block size fall back to the scan formulation.
 _CM_PARALLEL_MAX_N = 2 << 20
+
+
+def _cm_impl() -> str:
+    """CM stage implementation: BZ3_TPU_CM in {auto, pallas, parallel,
+    scan}.  auto = the Pallas lane kernel on real TPU (the on-core loop
+    dodges this backend's per-step dispatch floor, see
+    ops/device/cm_pallas.py), the XLA formulations elsewhere (the
+    interpreted Pallas kernel is a multi-minute CPU compile)."""
+    mode = os.environ.get("BZ3_TPU_CM", "auto")
+    if mode == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return {"pallas": "pallas", "parallel": "xla", "scan": "scan"}.get(mode, "xla")
 # Host pre/post passes: prefer the native (C++) stage codecs, fall
 # back to the NumPy oracles when no toolchain is available.
 try:
@@ -71,7 +85,13 @@ def encode_core(orig, orig_lens, cur, cur_lens):
     """
     crc = crc32_batch(orig, orig_lens)
     u, idx = bwt_forward_batch(cur, cur_lens)
-    if cur.shape[1] <= _CM_PARALLEL_MAX_N:
+    impl = _cm_impl()
+    if impl == "pallas":
+        from .ops.device.cm_pallas import cm_encode_pallas_batch
+
+        payload, plens = cm_encode_pallas_batch(u, cur_lens)
+        ok = plens <= payload.shape[1]
+    elif impl == "xla" and cur.shape[1] <= _CM_PARALLEL_MAX_N:
         payload, plens, ok = cm_encode_parallel_batch(u, cur_lens)
     else:
         payload, plens = cm_encode_batch(u, cur_lens)
@@ -82,7 +102,12 @@ def encode_core(orig, orig_lens, cur, cur_lens):
 @partial(jax.jit, static_argnames=("out_width",))
 def decode_core(payload, payload_lens, sbb_lens, bwt_idx, out_width):
     """Device decode stages: CM decode then inverse BWT."""
-    u = cm_decode_batch(payload, payload_lens, sbb_lens, out_width)
+    if _cm_impl() == "pallas":
+        from .ops.device.cm_pallas import cm_decode_pallas_batch
+
+        u = cm_decode_pallas_batch(payload, payload_lens, sbb_lens, out_width)
+    else:
+        u = cm_decode_batch(payload, payload_lens, sbb_lens, out_width)
     data = bwt_inverse_batch(u, sbb_lens, bwt_idx)
     return data
 

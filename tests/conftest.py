@@ -23,6 +23,17 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# Persistent compilation cache: the interpreted Pallas CM kernels are
+# multi-minute XLA:CPU compiles; caching makes suite re-runs fast.
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".pytest_cache", "jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+except Exception:
+    pass
+
 sys.path.insert(0, os.path.dirname(__file__))
 
 import pytest  # noqa: E402

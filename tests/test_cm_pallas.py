@@ -1,0 +1,75 @@
+"""Pallas CM kernel bit-exactness vs the oracle (ops/ref/cm.py).
+
+Runs in interpret mode on the CPU suite backend; the identical kernel
+runs compiled on TPU (exercised by bench.py / the device engine).
+Sizes are kept small: the interpreted kernel compiles a large body.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from bzip3_tpu.ops.ref.cm import cm_encode, cm_decode
+
+RNG = np.random.default_rng(1234)
+LANES = 8
+
+
+@pytest.fixture(scope="module")
+def blocks():
+    return [
+        bytes(RNG.integers(97, 123, 300, dtype=np.uint8)),
+        bytes(RNG.integers(0, 256, 513, dtype=np.uint8)),
+        b"abcabcabc" * 40,  # run flag exercises the SSE odd contexts
+        b"\x00" * 200,
+        bytes(RNG.integers(0, 4, 700, dtype=np.uint8)),
+        b"",
+        b"Q",
+        b"\xff" * 130,
+    ]
+
+
+def _pad(blocks, width):
+    arr = np.zeros((len(blocks), width), np.uint8)
+    lens = np.zeros((len(blocks),), np.int32)
+    for i, b in enumerate(blocks):
+        arr[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+    return arr, lens
+
+
+def test_cm_pallas_encode_bit_exact(blocks):
+    from bzip3_tpu.ops.device.cm_pallas import cm_encode_pallas_batch
+
+    n = max(len(b) for b in blocks)
+    data, lens = _pad(blocks, max(128, n))
+    out, olens = cm_encode_pallas_batch(
+        jnp.asarray(data), jnp.asarray(lens), lanes=LANES, interpret=True
+    )
+    out, olens = np.asarray(out), np.asarray(olens)
+    for i, b in enumerate(blocks):
+        assert out[i, : olens[i]].tobytes() == cm_encode(b), f"block {i}"
+
+
+def test_cm_pallas_decode_bit_exact(blocks):
+    from bzip3_tpu.ops.device.cm_pallas import cm_decode_pallas_batch
+
+    enc = [cm_encode(b) for b in blocks]
+    m = max(len(e) for e in enc)
+    pdata, plens = _pad(enc, max(128, m))
+    n = max(len(b) for b in blocks)
+    width = max(128, n)
+    _, lens = _pad(blocks, width)
+    dec = np.asarray(
+        cm_decode_pallas_batch(
+            jnp.asarray(pdata),
+            jnp.asarray(plens),
+            jnp.asarray(lens),
+            width,
+            lanes=LANES,
+            interpret=True,
+        )
+    )
+    for i, b in enumerate(blocks):
+        assert dec[i, : lens[i]].tobytes() == b, f"block {i}"
