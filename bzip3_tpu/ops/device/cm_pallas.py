@@ -363,16 +363,18 @@ def _make_decode_kernel(lanes, n_steps, in_chunks):
             @pl.when((i & 127) == 127)
             def _():
                 slot = (i >> 7) & 1
+                # (i>>7)*128 is provably 128-aligned (i-127 is not).
+                off = pl.multiple_of((i >> 7) * 128, 128)
 
                 @pl.when(i >= 256)
                 def _():
                     pltpu.make_async_copy(
-                        ob.at[slot], hbm_out.at[:, pl.ds(i - 127, 128)], out_sems.at[slot]
+                        ob.at[slot], hbm_out.at[:, pl.ds(off - 256, 128)], out_sems.at[slot]
                     ).wait()
 
                 ob[slot] = obuf
                 pltpu.make_async_copy(
-                    ob.at[slot], hbm_out.at[:, pl.ds(i - 127, 128)], out_sems.at[slot]
+                    ob.at[slot], hbm_out.at[:, pl.ds(off, 128)], out_sems.at[slot]
                 ).start()
 
             # ---- staging refill: any lane within 512 B of staged-high ---
