@@ -4,7 +4,7 @@ CXX ?= g++
 CXXFLAGS ?= -O3 -march=native -fPIC -shared -pthread
 PY ?= python
 
-.PHONY: all native test roundtrip bench clean cloc
+.PHONY: all native test roundtrip bench clean cloc fuzz-native
 
 all: native
 
@@ -26,6 +26,15 @@ roundtrip: native
 
 bench: native
 	$(PY) bench.py
+
+# ASan/UBSan lane for the native engine — the reference's sanitizer
+# story (examples/fuzz-decode-block.c:53-66) applied to csrc/bz3n.cpp.
+FUZZ_ITERS ?= 10000
+fuzz-native:
+	mkdir -p _build
+	$(CXX) -O1 -g -fsanitize=address,undefined -fno-sanitize-recover=all \
+		-pthread -Icsrc csrc/fuzz_bz3n.cpp -o _build/fuzz_bz3n
+	_build/fuzz_bz3n $(FUZZ_ITERS)
 
 clean:
 	rm -rf _build __pycache__ bzip3_tpu/__pycache__

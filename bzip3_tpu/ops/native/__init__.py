@@ -48,15 +48,31 @@ def _compile():
     os.replace(_SO + ".tmp", _SO)
 
 
+# Installed-package location (built by setup.py's build_py hook).
+_PKG_SO = os.path.join(
+    os.path.dirname(os.path.dirname(_HERE)), "_native_lib", "libbz3n.so"
+)
+
+
 def _load():
     global _lib
     with _lock:
         if _lib is not None:
             return _lib
-        need = not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC)
-        if need:
-            _compile()
-        lib = ctypes.CDLL(_SO)
+        if os.path.exists(_SRC):
+            # source checkout: (re)build on demand
+            need = not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
+                _SRC
+            )
+            if need:
+                _compile()
+            so_path = _SO
+        elif os.path.exists(_PKG_SO):
+            # installed wheel: use the library shipped by setup.py
+            so_path = _PKG_SO
+        else:
+            raise OSError("libbz3n.so not found and no csrc to build it from")
+        lib = ctypes.CDLL(so_path)
         lib.bz3n_crc32.restype = ctypes.c_uint32
         lib.bz3n_crc32.argtypes = [ctypes.c_char_p, ctypes.c_int32]
         lib.bz3n_bound.restype = ctypes.c_int32
