@@ -25,8 +25,19 @@ MAGIC = b"BZ3v1"
 _U32 = struct.Struct("<I")
 
 
-def compress(data: bytes, block_size: int = 16 * 1024 * 1024, engine=_ref_engine) -> bytes:
-    """Compress a whole buffer into a BZ3v1 frame."""
+def compress(
+    data: bytes,
+    block_size: int = 16 * 1024 * 1024,
+    engine=_ref_engine,
+    batch_encode=None,
+    batch_size: int = 16,
+) -> bytes:
+    """Compress a whole buffer into a BZ3v1 frame.
+
+    ``batch_encode(blocks) -> payloads`` routes the per-block work
+    through a batch engine (native pthread pool / TPU pipeline, see
+    bzip3_tpu.engines); the default is the serial oracle.
+    """
     if block_size > len(data):
         block_size = bound(len(data))
     block_size = max(block_size, 65 * KiB)
@@ -45,20 +56,32 @@ def compress(data: bytes, block_size: int = 16 * 1024 * 1024, engine=_ref_engine
     # (verified against the reference library).  We frame the last
     # block with its true remaining size instead; the stream layout is
     # identical and fully cross-decodable.
-    offset = 0
-    for i in range(n_blocks):
-        size = min(block_size, n - offset)
-        chunk = data[offset : offset + size]
-        payload = encode_block(chunk, engine)
-        out += _U32.pack(len(payload))
-        out += _U32.pack(size)
-        out += payload
-        offset += size
+    chunks = [data[o : o + block_size] for o in range(0, n, block_size)]
+    for lo in range(0, n_blocks, max(1, batch_size)):
+        batch = chunks[lo : lo + max(1, batch_size)]
+        if batch_encode is not None:
+            payloads = batch_encode(batch)
+        else:
+            payloads = [encode_block(c, engine) for c in batch]
+        for chunk, payload in zip(batch, payloads):
+            out += _U32.pack(len(payload))
+            out += _U32.pack(len(chunk))
+            out += payload
     return bytes(out)
 
 
-def decompress(data: bytes, engine=_ref_engine, max_output: int | None = None) -> bytes:
-    """Decompress a BZ3v1 frame produced by :func:`compress`."""
+def decompress(
+    data: bytes,
+    engine=_ref_engine,
+    max_output: int | None = None,
+    batch_decode=None,
+    batch_size: int = 16,
+) -> bytes:
+    """Decompress a BZ3v1 frame produced by :func:`compress`.
+
+    ``batch_decode(pairs, block_size) -> blocks`` routes decoding
+    through a batch engine; pairs are (payload, orig_size).
+    """
     if len(data) < 13:
         raise Bz3Error(BZ3_ERR_MALFORMED_HEADER)
     if data[:5] != MAGIC:
@@ -70,6 +93,8 @@ def decompress(data: bytes, engine=_ref_engine, max_output: int | None = None) -
 
     out = bytearray()
     pos = 13
+    pending: list[tuple[bytes, int]] = []
+    total_osize = 0
     for _ in range(n_blocks):
         if len(data) - pos < 8:
             raise Bz3Error(BZ3_ERR_MALFORMED_HEADER)
@@ -84,10 +109,19 @@ def decompress(data: bytes, engine=_ref_engine, max_output: int | None = None) -
             raise Bz3Error(BZ3_ERR_MALFORMED_HEADER)
         if len(data) - pos < csize + 8:
             raise Bz3Error(BZ3_ERR_TRUNCATED_DATA)
-        if max_output is not None and len(out) + osize > max_output:
+        total_osize += osize
+        if max_output is not None and total_osize > max_output:
             raise Bz3Error(BZ3_ERR_DATA_TOO_BIG)
         pos += 8
-        block = data[pos : pos + csize]
-        out += decode_block(block, osize, block_size, engine)
+        pending.append((data[pos : pos + csize], osize))
         pos += csize
+
+    for lo in range(0, len(pending), max(1, batch_size)):
+        batch = pending[lo : lo + max(1, batch_size)]
+        if batch_decode is not None:
+            results = batch_decode(batch, block_size)
+        else:
+            results = [decode_block(b, o, block_size, engine) for b, o in batch]
+        for blk in results:
+            out += blk
     return bytes(out)
