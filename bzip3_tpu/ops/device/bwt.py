@@ -120,17 +120,23 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
 
 @partial(jax.jit, static_argnames=("segments",))
 def bwt_inverse_batch(
-    u: jax.Array, lengths: jax.Array, indices: jax.Array, segments: int = 256
+    u: jax.Array, lengths: jax.Array, indices: jax.Array, segments: int | None = None
 ):
     """Invert the BWT for each row.  u: [K, N] uint8, returns [K, N] uint8.
 
     ``segments`` parallel chain walkers per row; each walks
-    ceil((N+1)/segments) steps of [K, segments]-wide gathers.
+    ceil((N+1)/segments) steps of [K, segments]-wide gathers.  The
+    default scales with N (~2K steps per walker) — fixed small segment
+    counts collapse at multi-MiB widths because the serial walk length
+    grows linearly while each step stays latency-bound.
     Corrupted (length, index) pairs produce garbage bytes, never
     out-of-bounds access — the block-level CRC rejects them
     (src/libbz3.c:803).
     """
     k_dim, n = u.shape
+    if segments is None:
+        segments = max(256, min(16384, 1 << max(0, (n >> 11)).bit_length()))
+        segments = min(segments, max(256, n))
     m = n + 1  # sentinel slot
     lens = lengths[:, None]
     idxs = indices[:, None]

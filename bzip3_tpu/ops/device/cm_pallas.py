@@ -202,21 +202,62 @@ def _rotate_c1_rows(c1, rowa, rowb, scal, c1_old, c1_new, active, lanes):
 
 
 def _win_gather(win, lanes, base):
-    """Refresh the 256-byte register carry from the [L, 2, 8, 128]
-    staging window: returns (lo, hi) = window bytes [base, base+256).
-    The window holds absolute bytes [fh-2048, fh) at slot (a>>10)&1,
-    sub (a>>7)&7, lane a&127."""
+    """Refresh the 384-byte register carry from the [2, L, 8, 128]
+    staging window: returns three [L, 128] chunks = window bytes
+    [base, base+384).  The window holds absolute bytes [fh-2048, fh)
+    at slot (a>>10)&1, sub (a>>7)&7, lane a&127."""
     col = jax.lax.broadcasted_iota(I32, (lanes, 128), 1)
     outs = []
-    for half in range(2):
-        idx = base + half * 128 + col  # absolute byte positions
+    for part in range(3):
+        idx = base + part * 128 + col  # absolute byte positions
         sel = _srl(idx, 7) & 15  # (slot, sub) combined
         v = jnp.zeros((lanes, 128), I32)
         for s in range(16):
             chunk = win[s >> 3, :, s & 7, :]  # [L, 128] static slice
             v = jnp.where(sel == s, _gather_chunk(chunk, idx & 127), v)
         outs.append(v)
-    return outs[0], outs[1]
+    return tuple(outs)
+
+
+def _gather3(w0, w1, w2, rel):
+    """Gather from the 384-deep three-vreg carry, rel in [0, 384)."""
+    off = rel & 127
+    hi = _srl(rel, 7)
+    v = _gather_chunk(w0, off)
+    v = jnp.where(hi == 1, _gather_chunk(w1, off), v)
+    v = jnp.where(hi == 2, _gather_chunk(w2, off), v)
+    return v
+
+
+def _shl8k(x, k):
+    """x << 8k for k in [0, 4] (k == 4 -> 0), 3-level select tree."""
+    a = jnp.where((k & 1) != 0, x << 8, x)
+    b = jnp.where((k & 2) != 0, a << 16, a)
+    return jnp.where(k == 4, 0, b)
+
+
+def _mask8k(k):
+    """(1 << 8k) - 1 for k in [0, 4] as i32."""
+    m = jnp.where((k & 1) != 0, jnp.int32(0xFF), jnp.int32(0))
+    m = jnp.where((k & 2) != 0, (m << 16) | 0xFFFF, m)
+    return jnp.where(k == 4, jnp.int32(-1), m)
+
+
+def _renorm_count(lh, active):
+    """Number of renormalization steps for range value lh = low ^ high.
+
+    The loop `while ((low^high) < 2**24) shift` runs exactly
+    [lh <u 2**24] + [lh <u 2**16] + [lh <u 2**8] + [lh == 0] times
+    (after j shifts the value is lh<<8j | (2**8j - 1)) — all four
+    compares are data-parallel, so the serial renorm loop collapses to
+    a popcount-style sum."""
+    k = (
+        _ult(lh, jnp.int32(1 << 24)).astype(I32)
+        + _ult(lh, jnp.int32(1 << 16)).astype(I32)
+        + _ult(lh, jnp.int32(1 << 8)).astype(I32)
+        + (lh == 0).astype(I32)
+    )
+    return jnp.where(active, k, 0)
 
 
 # ---------------------------------------------------------------------------
@@ -238,7 +279,7 @@ def _make_decode_kernel(lanes, n_steps, in_chunks):
         rowb,  # VMEM [L, 256]
         win,  # VMEM [2, L, 8, 128] input staging (slot-leading)
         ob,  # VMEM [2, L, 128] output staging
-        scal,  # VMEM [3, L, 128] scalar bridge
+        scal,  # VMEM [4, L, 128] scalar bridge (+row 3 = staged-high)
         c0_0, c0_1, c0_2, c0_3, c0_4, c0_5, c0_6, c0_7,
         c2_0, c2_1, c2_2, c2_3, c2_4, c2_5, c2_6, c2_7,
         in_sems,  # DMA [L]
@@ -263,87 +304,108 @@ def _make_decode_kernel(lanes, n_steps, in_chunks):
         code = zeros
         ip = zeros
         base = zeros
-        fh = jnp.full((lanes, 128), 2048, I32)  # staged-high (absolute)
-        wlo, whi = _win_gather(win, lanes, base)
+        fh_ref = scal  # scal[3] doubles as the staged-high state row
+        w0, w1, w2 = _win_gather(win, lanes, base)
 
-        def read_byte(wlo, whi, base, ipv):
-            b = _gather2(wlo, whi, ipv - base)
+        def read_byte(w0, w1, w2, base, ipv):
+            b = _gather3(w0, w1, w2, ipv - base)
             return jnp.where(ipv < plen, b, jnp.int32(-1))
 
         for _ in range(4):
-            code = (code << 8) + read_byte(wlo, whi, base, ip)
+            code = (code << 8) + read_byte(w0, w1, w2, base, ip)
             ip = ip + 1
+
+        scal[3] = jnp.full((lanes, 128), 2048, I32)  # staged-high (absolute)
+
+        def prefetch4(w0, w1, w2, base, ipv):
+            """next4 input bytes + their 5 prefix sums (exhaustion uses
+            the reference's (code<<8) - 1 semantics per byte)."""
+            v = [read_byte(w0, w1, w2, base, ipv + i) for i in range(4)]
+            s0 = zeros
+            s1 = v[0]
+            s2 = (s1 << 8) + v[1]
+            s3 = (s2 << 8) + v[2]
+            s4 = (s3 << 8) + v[3]
+            return (s0, s1, s2, s3, s4)
+
+        pref = prefetch4(w0, w1, w2, base, ip)
 
         c1v = zeros
         c2v = zeros
         runv = zeros
 
         def body(i, carry):
-            low, high, code, ip, base, fh, wlo, whi, c1v, c2v, runv, obuf = carry
+            (low, high, code, ip, base, w0, w1, w2, pref,
+             c1v, c2v, runv, obuf) = carry
             active = i < olen
             runv = jnp.where(active, jnp.where(c1v == c2v, runv + 1, 0), runv)
             f = (runv > 2).astype(I32)
 
-            # rowA/rowB are constant within the byte (updates deferred),
-            # so their values are hoisted out of the bit loop.
+            # rowA/rowB and the per-bit tables are constant within the
+            # byte (updates are deferred / bit-private), so all values
+            # are hoisted and the table gathers for bit t+1 run
+            # SPECULATIVELY on both ctx candidates while bit t's range
+            # math resolves — the critical path holds only the range
+            # coder, not the (330-cycle-latency) gathers.
             rowa_v = rowa[...]
             rowb_v = rowb[...]
+            c0vs = [c0[t][...] for t in range(8)]
+            c2vs = [c2[t][...] for t in range(8)]
             col128 = jax.lax.broadcasted_iota(I32, (lanes, 128), 1)
-            ctx = jnp.ones((lanes, 128), I32)
-            rowa_ups = []
-            for t in range(8):
-                c0tv = c0[t][...]
-                c2tv = c2[t][...]
-                rel = ctx - (1 << t)  # in [0, 2^t) — single-chunk index
-                p0 = _gather_chunk(c0tv, rel)
-                p1 = _gather_wide(rowa_v, ctx)
-                p2 = _gather_wide(rowb_v, ctx)
+
+            def fe(ctxv, t):
+                """Front-end for one candidate context at bit t."""
+                rel = ctxv - (1 << t)
+                p0 = _gather_chunk(c0vs[t], rel)
+                p1 = _gather_wide(rowa_v, ctxv)
+                p2 = _gather_wide(rowb_v, ctxv)
                 p = ((p0 + p1) * 7 + p2 + p2) >> 4
                 j = p >> 12
                 sse_rel = (2 * rel + f) * 17 + j
-                x1 = _gather_wide(c2tv, sse_rel)
-                x2 = _gather_wide(c2tv, sse_rel + 1)
+                x1 = _gather_wide(c2vs[t], sse_rel)
+                x2 = _gather_wide(c2vs[t], sse_rel + 1)
                 ssep = x1 + (((x2 - x1) * (p & 4095)) >> 12)
-                step = _mul_shift18_i32(high - low, ssep * 3 + p)
+                return (ssep * 3 + p, p0, p1, x1, x2, rel, sse_rel, ctxv)
+
+            def fe_sel(bit, f0, f1):
+                return tuple(jnp.where(bit, b, a) for a, b in zip(f0, f1))
+
+            ctx = jnp.ones((lanes, 128), I32)
+            fe_cur = fe(ctx, 0)
+            rowa_ups = []
+            for t in range(8):
+                if t < 7:
+                    cand0 = fe(ctx + ctx, t + 1)
+                    cand1 = fe(ctx + ctx + 1, t + 1)
+                s3p, p0, p1, x1, x2, rel, sse_rel, _ = fe_cur
+                step = _mul_shift18_i32(high - low, s3p)
                 mid = low + step
                 bit = _ule(code, mid)
                 high = jnp.where(bit & active, mid, high)
                 low = jnp.where((~bit) & active, mid + 1, low)
-                # renormalize: first slot inline; the rare extra slots
-                # (a bit-code rarely consumes > 1 byte) behind a cond.
-                do = active & _ult(low ^ high, jnp.int32(1 << 24))
-                nb = read_byte(wlo, whi, base, ip)
-                low = jnp.where(do, low << 8, low)
-                high = jnp.where(do, (high << 8) | 0xFF, high)
-                code = jnp.where(do, (code << 8) + nb, code)
-                ip = ip + do.astype(I32)
-
-                def _more_renorm(low, high, code, ip):
-                    for _ in range(3):
-                        d = active & _ult(low ^ high, jnp.int32(1 << 24))
-                        b2 = read_byte(wlo, whi, base, ip)
-                        low = jnp.where(d, low << 8, low)
-                        high = jnp.where(d, (high << 8) | 0xFF, high)
-                        code = jnp.where(d, (code << 8) + b2, code)
-                        ip = ip + d.astype(I32)
-                    return low, high, code, ip
-
-                low, high, code, ip = jax.lax.cond(
-                    jnp.any(active & _ult(low ^ high, jnp.int32(1 << 24))),
-                    _more_renorm,
-                    lambda low, high, code, ip: (low, high, code, ip),
-                    low, high, code, ip,
-                )
-                # C0_t / C2_t are private to bit t: update them inline on
-                # the loaded values (no cross-bit dependency); only rowA
-                # updates are deferred to the byte boundary.
+                # collapsed renormalization: count, then one shift
+                k = _renorm_count(low ^ high, active)
+                low = _shl8k(low, k)
+                high = _shl8k(high, k) | _mask8k(k)
+                s0, s1, s2, s3, s4 = pref
+                sk = jnp.where(k == 0, s0, s1)
+                sk = jnp.where(k == 2, s2, sk)
+                sk = jnp.where(k == 3, s3, sk)
+                sk = jnp.where(k == 4, s4, sk)
+                code = _shl8k(code, k) + sk
+                ip = ip + k
+                # prefetch the next 4 stream bytes (consumed next bit)
+                pref = prefetch4(w0, w1, w2, base, ip)
+                # bit-private table updates, off the critical path
                 u0, u1, v1, v2 = _upd(bit, p0, p1, x1, x2)
-                c0[t][...] = jnp.where(active & (col128 == rel), u0, c0tv)
+                c0[t][...] = jnp.where(active & (col128 == rel), u0, c0vs[t])
                 c2[t][...] = _blend_wide(
-                    c2tv, [(sse_rel, v1, active), (sse_rel + 1, v2, active)]
+                    c2vs[t], [(sse_rel, v1, active), (sse_rel + 1, v2, active)]
                 )
                 rowa_ups.append((ctx, u1, active))
                 ctx = ctx + ctx + bit.astype(I32)
+                if t < 7:
+                    fe_cur = fe_sel(bit, cand0, cand1)
 
             rowa[...] = _blend_wide(rowa_v, rowa_ups)
 
@@ -377,52 +439,63 @@ def _make_decode_kernel(lanes, n_steps, in_chunks):
                     ob.at[slot], hbm_out.at[:, pl.ds(off, 128)], out_sems.at[slot]
                 ).start()
 
-            # ---- staging refill: any lane within 512 B of staged-high ---
-            need_dma = active & (ip < plen) & (fh - ip < 512) & ((fh >> 10) < in_chunks)
-
-            @pl.when(jnp.any(need_dma))
+            # ---- window maintenance every 4 steps (consumption is at
+            # most 32 B/step, so the margins below hold; the gate is a
+            # scalar loop-index compare — no vector->scalar sync).
+            @pl.when((i & 3) == 3)
             def _():
-                scal[0] = fh
-                scal[1] = need_dma.astype(I32)
-                for l in range(lanes):
-                    fl = scal[0, l, 0]
-                    nd = scal[1, l, 0]
+                fh = scal[3]
+                need_dma = (
+                    active & (ip < plen) & (fh - ip < 640) & ((fh >> 10) < in_chunks)
+                )
 
-                    @pl.when(nd == 1)
-                    def _():
-                        chunk = _srl(fl, 10)
-                        pltpu.make_async_copy(
-                            hbm_in.at[chunk & 1, l, _srl(chunk, 1)],
-                            win.at[chunk & 1, l],
-                            in_sems.at[l],
-                        ).start()
-                for l in range(lanes):
-                    fl = scal[0, l, 0]
-                    nd = scal[1, l, 0]
+                @pl.when(jnp.any(need_dma))
+                def _():
+                    scal[0] = fh
+                    scal[1] = need_dma.astype(I32)
+                    for l in range(lanes):
+                        fl = scal[0, l, 0]
+                        nd = scal[1, l, 0]
 
-                    @pl.when(nd == 1)
-                    def _():
-                        chunk = _srl(fl, 10)
-                        pltpu.make_async_copy(
-                            hbm_in.at[chunk & 1, l, _srl(chunk, 1)],
-                            win.at[chunk & 1, l],
-                            in_sems.at[l],
-                        ).wait()
-            fh = fh + 1024 * need_dma.astype(I32)
+                        @pl.when(nd == 1)
+                        def _():
+                            chunk = _srl(fl, 10)
+                            pltpu.make_async_copy(
+                                hbm_in.at[chunk & 1, l, _srl(chunk, 1)],
+                                win.at[chunk & 1, l],
+                                in_sems.at[l],
+                            ).start()
+                    for l in range(lanes):
+                        fl = scal[0, l, 0]
+                        nd = scal[1, l, 0]
 
-            # ---- register-carry refresh when any lane crossed 128 -------
-            need_r = (ip - base) >= 128
-            base2 = base + 128 * need_r.astype(I32)
-            any_r = jnp.any(need_r)
-            wlo2, whi2 = jax.lax.cond(
-                any_r,
-                lambda: _win_gather(win, lanes, base2),
-                lambda: (wlo, whi),
+                        @pl.when(nd == 1)
+                        def _():
+                            chunk = _srl(fl, 10)
+                            pltpu.make_async_copy(
+                                hbm_in.at[chunk & 1, l, _srl(chunk, 1)],
+                                win.at[chunk & 1, l],
+                                in_sems.at[l],
+                            ).wait()
+                    scal[3] = fh + 1024 * need_dma.astype(I32)
+
+            def _refresh(base, w0, w1, w2):
+                b2 = base + 128 * ((ip - base) >= 128).astype(I32)
+                n0, n1, n2 = _win_gather(win, lanes, b2)
+                return b2, n0, n1, n2
+
+            base, w0, w1, w2 = jax.lax.cond(
+                (i & 3) == 3,
+                _refresh,
+                lambda base, w0, w1, w2: (base, w0, w1, w2),
+                base, w0, w1, w2,
             )
 
-            return (low, high, code, ip, base2, fh, wlo2, whi2, c1v, c2v, runv, obuf)
+            return (low, high, code, ip, base, w0, w1, w2, pref,
+                    c1v, c2v, runv, obuf)
 
-        carry = (low, high, code, ip, base, fh, wlo, whi, c1v, c2v, runv, zeros)
+        carry = (low, high, code, ip, base, w0, w1, w2, pref,
+                 c1v, c2v, runv, zeros)
         carry = jax.lax.fori_loop(0, n_steps, body, carry)
 
         # drain outstanding output DMAs
@@ -471,7 +544,7 @@ def _decode_call(payload, plens, olens, lanes, n_steps, in_chunks, interpret):
             pltpu.VMEM((lanes, 256), I32),
             pltpu.VMEM((2, lanes, 8, 128), I32),
             pltpu.VMEM((2, lanes, 128), I32),
-            pltpu.VMEM((3, lanes, 128), I32),
+            pltpu.VMEM((4, lanes, 128), I32),
             *_c0_shapes(lanes),
             *_c2_shapes(lanes),
             pltpu.SemaphoreType.DMA((lanes,)),
@@ -613,54 +686,68 @@ def _make_encode_kernel(lanes, n_steps, out_chunks):
             c = cbyte & 255
             rowa_v = rowa[...]
             rowb_v = rowb[...]
+            c0vs = [c0[t][...] for t in range(8)]
+            c2vs = [c2[t][...] for t in range(8)]
             col128 = jax.lax.broadcasted_iota(I32, (lanes, 128), 1)
+
+            # Every bit of the byte is known up front, so ALL eight
+            # front-ends (gathers + prediction ALU) run in parallel at
+            # byte start; the serial chain is only the range coder.
+            bits = []
+            ctxs = []
             ctx = jnp.ones((lanes, 128), I32)
-            rowa_ups = []
             for t in range(8):
-                c0tv = c0[t][...]
-                c2tv = c2[t][...]
-                rel = ctx - (1 << t)
-                p0 = _gather_chunk(c0tv, rel)
-                p1 = _gather_wide(rowa_v, ctx)
-                p2 = _gather_wide(rowb_v, ctx)
+                bit = (c & 128) != 0
+                bits.append(bit)
+                ctxs.append(ctx)
+                ctx = ctx + ctx + bit.astype(I32)
+                c = (c << 1) & 0xFF
+            fes = []
+            for t in range(8):
+                ctxv = ctxs[t]
+                rel = ctxv - (1 << t)
+                p0 = _gather_chunk(c0vs[t], rel)
+                p1 = _gather_wide(rowa_v, ctxv)
+                p2 = _gather_wide(rowb_v, ctxv)
                 p = ((p0 + p1) * 7 + p2 + p2) >> 4
                 j = p >> 12
                 sse_rel = (2 * rel + f) * 17 + j
-                x1 = _gather_wide(c2tv, sse_rel)
-                x2 = _gather_wide(c2tv, sse_rel + 1)
+                x1 = _gather_wide(c2vs[t], sse_rel)
+                x2 = _gather_wide(c2vs[t], sse_rel + 1)
                 ssep = x1 + (((x2 - x1) * (p & 4095)) >> 12)
-                bit = (c & 128) != 0
-                step = _mul_shift18_i32(high - low, ssep * 3 + p)
+                fes.append((ssep * 3 + p, p0, p1, x1, x2, rel, sse_rel))
+
+            rowa_ups = []
+            for t in range(8):
+                s3p, p0, p1, x1, x2, rel, sse_rel = fes[t]
+                bit = bits[t]
+                step = _mul_shift18_i32(high - low, s3p)
                 high = jnp.where(bit & active, low + step, high)
                 low = jnp.where((~bit) & active, low + step + 1, low)
-                # renormalize/emit: first slot inline, rare extras gated.
-                do = active & _ult(low ^ high, jnp.int32(1 << 24))
-                wv, optr = emit(wv, optr, low, do)
-                low = jnp.where(do, low << 8, low)
-                high = jnp.where(do, (high << 8) | 0xFF, high)
-
-                def _more_emit(wv, optr, low, high):
-                    for _ in range(3):
-                        d = active & _ult(low ^ high, jnp.int32(1 << 24))
-                        wv, optr = emit(wv, optr, low, d)
-                        low = jnp.where(d, low << 8, low)
-                        high = jnp.where(d, (high << 8) | 0xFF, high)
-                    return wv, optr, low, high
-
-                wv, optr, low, high = jax.lax.cond(
-                    jnp.any(active & _ult(low ^ high, jnp.int32(1 << 24))),
-                    _more_emit,
-                    lambda wv, optr, low, high: (wv, optr, low, high),
-                    wv, optr, low, high,
-                )
+                # collapsed renorm: count, emit k top bytes, one shift
+                k = _renorm_count(low ^ high, active)
+                for sidx in range(4):
+                    byte_s = _srl(low, 24 - 8 * sidx) & 0xFF
+                    wv = jnp.where(
+                        jnp.broadcast_to((k > sidx)[:, :1], (lanes, 256))
+                        & (
+                            wcol_iota
+                            == jnp.broadcast_to(
+                                ((optr + sidx) & 255)[:, :1], (lanes, 256)
+                            )
+                        ),
+                        jnp.broadcast_to(byte_s[:, :1], (lanes, 256)),
+                        wv,
+                    )
+                optr = optr + k
+                low = _shl8k(low, k)
+                high = _shl8k(high, k) | _mask8k(k)
                 u0, u1, v1, v2 = _upd(bit, p0, p1, x1, x2)
-                c0[t][...] = jnp.where(active & (col128 == rel), u0, c0tv)
+                c0[t][...] = jnp.where(active & (col128 == rel), u0, c0vs[t])
                 c2[t][...] = _blend_wide(
-                    c2tv, [(sse_rel, v1, active), (sse_rel + 1, v2, active)]
+                    c2vs[t], [(sse_rel, v1, active), (sse_rel + 1, v2, active)]
                 )
-                rowa_ups.append((ctx, u1, active))
-                ctx = ctx + ctx + bit.astype(I32)
-                c = (c << 1) & 0xFF
+                rowa_ups.append((ctxs[t], u1, active))
 
             rowa[...] = _blend_wide(rowa_v, rowa_ups)
 
@@ -669,8 +756,9 @@ def _make_encode_kernel(lanes, n_steps, out_chunks):
             c1v = jnp.where(active, ctx & 255, c1v)
             _rotate_c1_rows(c1, rowa, rowb, scal, c1o, c1v, active, lanes)
 
-            # ---- move filled carry halves into staging ------------------
-            need = (optr - moved) >= 128
+            # ---- move filled carry halves into staging (checked every 4
+            # steps; emission <= 32 B/step keeps the 256-byte carry safe)
+            need = ((optr - moved) >= 128) & ((i & 3) == 3)
 
             @pl.when(jnp.any(need))
             def _():

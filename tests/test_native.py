@@ -1,5 +1,6 @@
 """Native (C++) runtime vs oracle — bit parity and batch APIs."""
 
+import os
 import shutil
 
 import numpy as np
@@ -92,3 +93,66 @@ def test_big_block_u64_inverse_path(native):
     codec = native.NativeCodec(n)
     enc = codec.encode_block(src)
     assert codec.decode_block(enc, n) == src
+
+
+@pytest.mark.slow
+def test_big_block_64mib_cli_roundtrip(native, tmp_path):
+    """Big-block capability proof (-b 64 end-to-end through the CLI
+    with the native batch engine): a 64 MiB block exercises the u64
+    inverse-BWT path well past 2^24 (reference block ceiling is 511 MiB,
+    src/libbz3.c:536; the format path is identical from 2^24 up)."""
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(99)
+    # compressible-but-structured data so the full stage stack engages
+    words = [rng.integers(97, 123, rng.integers(3, 9), dtype=np.uint8).tobytes() for _ in range(512)]
+    parts = []
+    total = 0
+    while total < (64 << 20):
+        w = words[int(rng.integers(0, 512))]
+        parts.append(w + b" ")
+        total += len(w) + 1
+    src = b"".join(parts)[: 64 << 20]
+    p_in = tmp_path / "big.bin"
+    p_in.write_bytes(src)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, "-m", "bzip3_tpu", "-e", "-b", "64", "--engine", "native",
+         str(p_in)],
+        check=True, env=env,
+    )
+    out = tmp_path / "big.bin.out"
+    subprocess.run(
+        [sys.executable, "-m", "bzip3_tpu", "-d", "-c", "--engine", "native",
+         str(p_in) + ".bz3"],
+        check=True, env=env, stdout=out.open("wb"),
+    )
+    assert out.read_bytes() == src
+
+
+@pytest.mark.slow
+def test_block_size_511_accepted_end_to_end(native, tmp_path):
+    """-b 511 (the format's maximum block size) must be usable end to
+    end; the input is smaller than the block, exercising the single
+    jumbo-block framing path."""
+    import io
+
+    from bzip3_tpu.container.stream import compress_file, decompress_file
+    from bzip3_tpu.engines import get_engine
+
+    src = (b"the maximum block size is five hundred eleven mebibytes " * 40000)
+    eng = get_engine("native")
+    buf = io.BytesIO()
+    compress_file(
+        io.BytesIO(src), buf, block_size=511 * 1024 * 1024,
+        batch_encode=lambda blocks: eng.encode_blocks(blocks, 511 * 1024 * 1024),
+    )
+    out = io.BytesIO()
+    decompress_file(
+        io.BytesIO(buf.getvalue()), out,
+        batch_decode=lambda pairs, bs: eng.decode_blocks(pairs, bs),
+    )
+    assert out.getvalue() == src
