@@ -7,18 +7,21 @@ Prints ONE JSON line:
 Baseline: the reference bzip3 does ~17 MiB/s encode and ~23 MiB/s
 decode per x64 thread (reference README.md:113) — a single-thread
 encode+decode round trip of 1/(1/17+1/23) = 9.78 MiB/s.  vs_baseline
-is our round-trip MiB/s over that number.
+is the primary engine's round-trip MiB/s over that number.
 
-Engine selection (env BENCH_ENGINE):
-  native  — C++ host runtime, pthread block fan-out (default; the
-            byte-serial CM/LZP stages are host-native by design)
-  device  — JAX/XLA batched pipeline on the default backend (TPU)
-  sharded — device pipeline shard_map'd over all chips
+The line always carries BOTH engines' numbers:
 
-Corpus: deterministic enwik-style text (words + markup + numbers with
-moderate redundancy), env BENCH_MIB sets the size (default 64),
-BENCH_BLOCK_MIB the block size (default 16, i.e. the reference's
-`-b 16` headline config).
+- primary (env BENCH_ENGINE, default native): round trip at
+  BENCH_BLOCK_MIB (default 16, the reference's headline `-b 16`) over
+  a BENCH_MIB (default 64) MiB synthetic enwik-like corpus.
+- device_*: the TPU pipeline (Pallas CM + XLA BWT/CRC + host LZP/RLE)
+  measured at BENCH_DEVICE_BLOCK_MIB (default 1) blocks over
+  BENCH_DEVICE_MIB (default 16) MiB — the block size that fills the
+  CM kernel's lane group on one chip.  BENCH_DEVICE=0 skips it (e.g.
+  no accelerator); BENCH_DEVICE_B16=1 adds a single-block 16 MiB
+  `-b 16` device probe (costly: two extra kernel compiles).
+
+Set BENCH_ENGINE=device to make the device engine the primary metric.
 """
 
 import json
@@ -62,17 +65,8 @@ def make_corpus(size: int, seed: int = 0) -> bytes:
     return b"".join(parts)[:size]
 
 
-def main():
-    size_mib = float(os.environ.get("BENCH_MIB", "64"))
-    block_mib = float(os.environ.get("BENCH_BLOCK_MIB", "16"))
-    engine_name = os.environ.get("BENCH_ENGINE", "native")
-    block_size = int(block_mib * (1 << 20))
-    n_bytes = int(size_mib * (1 << 20))
-
-    corpus = make_corpus(n_bytes)
-    from bzip3_tpu.engines import get_engine
-
-    engine = get_engine(engine_name)
+def run_engine(engine, corpus: bytes, block_size: int):
+    """Round-trip `corpus` through `engine`; returns a metrics dict."""
     blocks = [corpus[i : i + block_size] for i in range(0, len(corpus), block_size)]
     pairs = lambda enc: [(e, len(b)) for e, b in zip(enc, blocks)]
 
@@ -90,21 +84,89 @@ def main():
 
     n = len(corpus)
     enc_s, dec_s = t1 - t0, t2 - t1
-    rt_mibs = (n / (1 << 20)) / (enc_s + dec_s)
-    comp = sum(len(e) for e in encoded)
-
-    baseline = 1.0 / (1.0 / 17.0 + 1.0 / 23.0)
-    result = {
-        "metric": f"bz3v1_roundtrip_b{int(block_mib)}_{engine.name}",
-        "value": round(rt_mibs, 4),
-        "unit": "MiB/s",
-        "vs_baseline": round(rt_mibs / baseline, 4),
+    return {
+        "rt_MiBs": round((n / (1 << 20)) / (enc_s + dec_s), 4),
         "encode_MiBs": round((n / (1 << 20)) / enc_s, 4),
         "decode_MiBs": round((n / (1 << 20)) / dec_s, 4),
-        "ratio": round(comp / n, 4),
+        "ratio": round(sum(len(e) for e in encoded) / n, 4),
         "corpus_MiB": round(n / (1 << 20), 2),
-        "engine": engine.name,
     }
+
+
+def main():
+    size_mib = float(os.environ.get("BENCH_MIB", "64"))
+    block_mib = float(os.environ.get("BENCH_BLOCK_MIB", "16"))
+    engine_name = os.environ.get("BENCH_ENGINE", "native")
+    dev_mib = float(os.environ.get("BENCH_DEVICE_MIB", "16"))
+    dev_block_mib = float(os.environ.get("BENCH_DEVICE_BLOCK_MIB", "1"))
+    with_device = os.environ.get("BENCH_DEVICE", "1") != "0"
+    with_device_b16 = os.environ.get("BENCH_DEVICE_B16", "0") == "1"
+
+    from bzip3_tpu.engines import get_engine
+
+    baseline = 1.0 / (1.0 / 17.0 + 1.0 / 23.0)
+    result = {}
+
+    # ---- device engine (the TPU pipeline) ---------------------------
+    device_stats = None
+    device_b16_stats = None
+    if with_device or engine_name in ("device", "sharded"):
+        try:
+            dev = get_engine("device")
+            device_stats = run_engine(
+                dev, make_corpus(int(dev_mib * (1 << 20))), int(dev_block_mib * (1 << 20))
+            )
+            if with_device_b16:
+                device_b16_stats = run_engine(
+                    dev, make_corpus(16 << 20), 16 << 20
+                )
+        except Exception as exc:  # no accelerator: report, don't die
+            result["device_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    # ---- primary engine ---------------------------------------------
+    if engine_name == "device" and device_stats is not None:
+        primary = device_stats
+        primary_block = dev_block_mib
+    else:
+        engine = get_engine(engine_name)
+        primary = run_engine(
+            engine, make_corpus(int(size_mib * (1 << 20))), int(block_mib * (1 << 20))
+        )
+        primary_block = block_mib
+
+    result.update(
+        {
+            "metric": f"bz3v1_roundtrip_b{int(primary_block)}_{engine_name}",
+            "value": primary["rt_MiBs"],
+            "unit": "MiB/s",
+            "vs_baseline": round(primary["rt_MiBs"] / baseline, 4),
+            "encode_MiBs": primary["encode_MiBs"],
+            "decode_MiBs": primary["decode_MiBs"],
+            "ratio": primary["ratio"],
+            "corpus_MiB": primary["corpus_MiB"],
+            "engine": engine_name,
+        }
+    )
+    if device_stats is not None:
+        result.update(
+            {
+                "device_rt_MiBs": device_stats["rt_MiBs"],
+                "device_encode_MiBs": device_stats["encode_MiBs"],
+                "device_decode_MiBs": device_stats["decode_MiBs"],
+                "device_ratio": device_stats["ratio"],
+                "device_block_MiB": dev_block_mib,
+                "device_corpus_MiB": device_stats["corpus_MiB"],
+                "device_vs_baseline": round(device_stats["rt_MiBs"] / baseline, 4),
+            }
+        )
+    if device_b16_stats is not None:
+        result.update(
+            {
+                "device_b16_rt_MiBs": device_b16_stats["rt_MiBs"],
+                "device_b16_encode_MiBs": device_b16_stats["encode_MiBs"],
+                "device_b16_decode_MiBs": device_b16_stats["decode_MiBs"],
+            }
+        )
     print(json.dumps(result))
 
 

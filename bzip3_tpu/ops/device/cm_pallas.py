@@ -430,8 +430,9 @@ def _make_decode_kernel(lanes, n_steps, in_chunks):
 
                 @pl.when(i >= 256)
                 def _():
+                    off_prev = pl.multiple_of(((i >> 7) - 2) * 128, 128)
                     pltpu.make_async_copy(
-                        ob.at[slot], hbm_out.at[:, pl.ds(off - 256, 128)], out_sems.at[slot]
+                        ob.at[slot], hbm_out.at[:, pl.ds(off_prev, 128)], out_sems.at[slot]
                     ).wait()
 
                 ob[slot] = obuf
