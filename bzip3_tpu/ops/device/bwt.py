@@ -30,12 +30,15 @@ import jax
 import jax.numpy as jnp
 
 
-def _dense_ranks(keys: jnp.ndarray, pos: jnp.ndarray):
-    """Dense ranks of keys along the last axis.  keys: [K, N] int32."""
-    k_dim, n = keys.shape
-    sk, sp = jax.lax.sort((keys, pos), num_keys=1, is_stable=True)
+def _dense_ranks2(key1: jnp.ndarray, key2: jnp.ndarray, pos: jnp.ndarray):
+    """Dense ranks of (key1, key2) pairs along the last axis."""
+    k_dim, n = key1.shape
+    s1, s2, sp = jax.lax.sort((key1, key2, pos), num_keys=2, is_stable=True)
     new_group = jnp.concatenate(
-        [jnp.zeros((k_dim, 1), jnp.int32), (sk[:, 1:] != sk[:, :-1]).astype(jnp.int32)],
+        [
+            jnp.zeros((k_dim, 1), jnp.int32),
+            ((s1[:, 1:] != s1[:, :-1]) | (s2[:, 1:] != s2[:, :-1])).astype(jnp.int32),
+        ],
         axis=1,
     )
     ranks_sorted = jnp.cumsum(new_group, axis=1)
@@ -55,9 +58,23 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
     pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (k_dim, n))
     lens = lengths[:, None]
 
-    # Sentinel keys: pad position j gets key j (< n), real byte b gets n + b.
-    key0 = jnp.where(pos < lens, jnp.int32(n) + data.astype(jnp.int32), pos)
-    rank = _dense_ranks(key0, pos)
+    # Initial ranks from FOUR leading symbols (two 2-symbol packed keys)
+    # instead of one byte, so prefix doubling starts at k = 4 — two
+    # fewer O(N log N) sort rounds.  Symbols are byte+1 with 0 for
+    # end-of-string (non-wrapping order, end smallest); pad positions
+    # get strictly increasing negative keys so they sort to a
+    # contiguous prefix in position order (the distinct-sentinel trick).
+    def sym(off):
+        v = jnp.take_along_axis(
+            data.astype(jnp.int32), jnp.minimum(pos + off, n - 1), axis=1
+        )
+        return jnp.where(pos + off < lens, v + 1, 0)
+
+    padkey = pos - jnp.int32(n)  # negative, increasing
+    real = pos < lens
+    key_a = jnp.where(real, (sym(0) << 9) | sym(1), padkey)
+    key_b = jnp.where(real, (sym(2) << 9) | sym(3), padkey)
+    rank = _dense_ranks2(key_a, key_b, pos)
 
     def cond(carry):
         rank, k, done = carry
@@ -90,7 +107,7 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
         return new_rank, k * 2, done
 
     init_done = jnp.all(rank.max(axis=1) == n - 1)
-    rank, _, _ = jax.lax.while_loop(cond, body, (rank, jnp.int32(1), init_done))
+    rank, _, _ = jax.lax.while_loop(cond, body, (rank, jnp.int32(4), init_done))
 
     # SA[r] = position with rank r.
     _, sa = jax.lax.sort((rank, pos), num_keys=1, is_stable=True)
