@@ -26,6 +26,7 @@ Set BENCH_ENGINE=device to make the device engine the primary metric.
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -106,10 +107,40 @@ def main():
 
     baseline = 1.0 / (1.0 / 17.0 + 1.0 / 23.0)
     result = {}
-
-    # ---- device engine (the TPU pipeline) ---------------------------
     device_stats = None
     device_b16_stats = None
+    primary = None
+    primary_block = block_mib
+
+    def emit(partial=False):
+        _finalize(
+            result, engine_name, primary, primary_block, baseline,
+            device_stats, device_b16_stats, dev_block_mib, partial,
+        )
+        print(json.dumps(result), flush=True)
+
+    # Always produce the JSON line, even if the harness times us out
+    # mid-device-compile (device kernel compiles through the tunnel are
+    # multi-minute and uncacheable): measure the host engine first and
+    # emit whatever exists on SIGTERM/SIGALRM.
+    def _bail(signum, frame):
+        result.setdefault("device_error", f"budget exceeded (signal {signum})")
+        emit(partial=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _bail)
+    signal.signal(signal.SIGALRM, _bail)
+    signal.alarm(int(os.environ.get("BENCH_BUDGET_S", "2700")))
+
+    # ---- primary (host) engine first --------------------------------
+    if engine_name != "device":
+        engine = get_engine(engine_name)
+        primary = run_engine(
+            engine, make_corpus(int(size_mib * (1 << 20))), int(block_mib * (1 << 20))
+        )
+        primary_block = block_mib
+
+    # ---- device engine (the TPU pipeline) ---------------------------
     if with_device or engine_name in ("device", "sharded"):
         try:
             dev = get_engine("device")
@@ -123,17 +154,23 @@ def main():
         except Exception as exc:  # no accelerator: report, don't die
             result["device_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
-    # ---- primary engine ---------------------------------------------
     if engine_name == "device" and device_stats is not None:
         primary = device_stats
         primary_block = dev_block_mib
-    else:
-        engine = get_engine(engine_name)
-        primary = run_engine(
-            engine, make_corpus(int(size_mib * (1 << 20))), int(block_mib * (1 << 20))
-        )
-        primary_block = block_mib
 
+    signal.alarm(0)
+    emit()
+
+
+def _finalize(
+    result, engine_name, primary, primary_block, baseline,
+    device_stats, device_b16_stats, dev_block_mib, partial,
+):
+    if primary is None:
+        primary = device_stats or {
+            "rt_MiBs": 0.0, "encode_MiBs": 0.0, "decode_MiBs": 0.0,
+            "ratio": 0.0, "corpus_MiB": 0.0,
+        }
     result.update(
         {
             "metric": f"bz3v1_roundtrip_b{int(primary_block)}_{engine_name}",
@@ -167,7 +204,8 @@ def main():
                 "device_b16_decode_MiBs": device_b16_stats["decode_MiBs"],
             }
         )
-    print(json.dumps(result))
+    if partial:
+        result["partial"] = True
 
 
 if __name__ == "__main__":
