@@ -290,12 +290,15 @@ static s32 cm_encode(CmState *s, const u8 *buf, s32 size, u8 *out) {
         u8 c = buf[i];
         if (c1 == c2) ++run; else run = 0;
         const int f = run > 2;
+        const u16 *rowA = s->C1[c1];
+        const u16 *rowB = s->C1[c2];
+        u16 *rowW = s->C1[c1];
 
         int ctx = 1;
         while (ctx < 256) {
             const int p0 = s->C0[ctx];
-            const int p1 = s->C1[c1][ctx];
-            const int p2 = s->C1[c2][ctx];
+            const int p1 = rowA[ctx];
+            const int p2 = rowB[ctx];
             const int p = ((p0 + p1) * 7 + p2 + p2) >> 4;
 
             const int j = p >> 12;
@@ -313,7 +316,7 @@ static s32 cm_encode(CmState *s, const u8 *buf, s32 size, u8 *out) {
                     high = (high << 8) | 0xFF;
                 }
                 s->C0[ctx] = (u16)(p0 + (((p0 ^ 65535) >> 2)));
-                s->C1[c1][ctx] = (u16)(p1 + (((p1 ^ 65535) >> 4)));
+                rowW[ctx] = (u16)(p1 + (((p1 ^ 65535) >> 4)));
                 c2row[j] = (u16)(x1 + (((x1 ^ 65535) >> 6)));
                 c2row[j + 1] = (u16)(x2 + (((x2 ^ 65535) >> 6)));
                 ctx += ctx + 1;
@@ -325,7 +328,7 @@ static s32 cm_encode(CmState *s, const u8 *buf, s32 size, u8 *out) {
                     high = (high << 8) | 0xFF;
                 }
                 s->C0[ctx] = (u16)(p0 - (p0 >> 2));
-                s->C1[c1][ctx] = (u16)(p1 - (p1 >> 4));
+                rowW[ctx] = (u16)(p1 - (p1 >> 4));
                 c2row[j] = (u16)(x1 - (x1 >> 6));
                 c2row[j + 1] = (u16)(x2 - (x2 >> 6));
                 ctx += ctx;
@@ -353,12 +356,15 @@ static void cm_decode(CmState *s, const u8 *in, s32 in_len, u8 *out, s32 size) {
     for (s32 i = 0; i < size; i++) {
         if (c1 == c2) ++run; else run = 0;
         const int f = run > 2;
+        const u16 *rowA = s->C1[c1];
+        const u16 *rowB = s->C1[c2];
+        u16 *rowW = s->C1[c1];
 
         int ctx = 1;
         while (ctx < 256) {
             const int p0 = s->C0[ctx];
-            const int p1 = s->C1[c1][ctx];
-            const int p2 = s->C1[c2][ctx];
+            const int p1 = rowA[ctx];
+            const int p2 = rowB[ctx];
             const int p = ((p0 + p1) * 7 + p2 + p2) >> 4;
 
             const int j = p >> 12;
@@ -368,22 +374,27 @@ static void cm_decode(CmState *s, const u8 *in, s32 in_len, u8 *out, s32 size) {
             const int ssep = x1 + (((x2 - x1) * (p & 4095)) >> 12);
 
             const u32 mid = low + (u32)(((u64)(high - low) * (u32)(ssep * 3 + p)) >> 18);
-            const int bit = code <= mid;
-            if (bit) high = mid; else low = mid + 1;
-            while ((low ^ high) < (1u << 24)) {
-                low <<= 8;
-                high = (high << 8) | 0xFF;
-                code = (code << 8) + (ip < in_len ? in[ip++] : (u32)-1);
-            }
-            if (bit) {
+            if (code <= mid) {
+                high = mid;
+                while ((low ^ high) < (1u << 24)) {
+                    low <<= 8;
+                    high = (high << 8) | 0xFF;
+                    code = (code << 8) + (ip < in_len ? in[ip++] : (u32)-1);
+                }
                 s->C0[ctx] = (u16)(p0 + (((p0 ^ 65535) >> 2)));
-                s->C1[c1][ctx] = (u16)(p1 + (((p1 ^ 65535) >> 4)));
+                rowW[ctx] = (u16)(p1 + (((p1 ^ 65535) >> 4)));
                 c2row[j] = (u16)(x1 + (((x1 ^ 65535) >> 6)));
                 c2row[j + 1] = (u16)(x2 + (((x2 ^ 65535) >> 6)));
                 ctx += ctx + 1;
             } else {
+                low = mid + 1;
+                while ((low ^ high) < (1u << 24)) {
+                    low <<= 8;
+                    high = (high << 8) | 0xFF;
+                    code = (code << 8) + (ip < in_len ? in[ip++] : (u32)-1);
+                }
                 s->C0[ctx] = (u16)(p0 - (p0 >> 2));
-                s->C1[c1][ctx] = (u16)(p1 - (p1 >> 4));
+                rowW[ctx] = (u16)(p1 - (p1 >> 4));
                 c2row[j] = (u16)(x1 - (x1 >> 6));
                 c2row[j + 1] = (u16)(x2 - (x2 >> 6));
                 ctx += ctx;
@@ -694,10 +705,51 @@ extern "C" s32 bz3n_bwt_inverse_ex(const u8 *in, u8 *out, s32 n, s32 index, s32 
         node[index] = (u64)start[0]++ << 8;
         for (s32 j = index + 1; j <= n; j++)
             node[j] = ((u64)start[in[j - 1] + 1]++ << 8) | in[j - 1];
-        u64 i = node[0];
-        for (s32 k = n - 1; k >= 0; k--) {
-            out[k] = (u8)i;
-            i = node[i >> 8];
+        // The headline `-b 16` block is EXACTLY 2^24 bytes — one past
+        // the u32 packed-node limit — so the big-block path gets the
+        // same pair+quad chain squaring, with 48-bit pointers in the
+        // u64 entries (ptr<<16 | 2 syms; composing once more keeps
+        // ptr<<32 | 4 syms in range for any valid block size).
+        static thread_local std::vector<u64> tl_pair64;
+        // extra memory is 16 B/input byte; cap the side allocations at
+        // 64 MiB blocks (1 GiB extra) — beyond that the plain walk.
+        if (quad_vec != nullptr && n <= (1 << 26)) {
+            tl_pair64.resize((size_t)n + 2);
+            u64 *pair = tl_pair64.data();
+            for (s32 j = 0; j <= n; j++) {
+                u64 v = node[j];
+                u64 w = node[v >> 8];
+                pair[j] = ((w >> 8) << 16) | ((w & 0xFF) << 8) | (v & 0xFF);
+            }
+            quad_vec->resize((size_t)n + 2);
+            u64 *quad = quad_vec->data();
+            for (s32 j = 0; j <= n; j++) {
+                u64 v = pair[j];
+                u64 w = pair[v >> 16];
+                quad[j] = ((w >> 16) << 32) | ((u32)(w & 0xFFFF) << 16) |
+                          (u32)(v & 0xFFFF);
+            }
+            s32 k = n - 1;
+            u64 q = quad[0];
+            while (k >= 3) {
+                out[k] = (u8)q;
+                out[k - 1] = (u8)(q >> 8);
+                out[k - 2] = (u8)(q >> 16);
+                out[k - 3] = (u8)(q >> 24);
+                k -= 4;
+                q = quad[q >> 32];
+            }
+            while (k >= 0) {
+                out[k] = (u8)q;
+                q >>= 8;
+                k--;
+            }
+        } else {
+            u64 i = node[0];
+            for (s32 k = n - 1; k >= 0; k--) {
+                out[k] = (u8)i;
+                i = node[i >> 8];
+            }
         }
     }
     return 0;
