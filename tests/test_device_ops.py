@@ -196,3 +196,20 @@ def test_cm_parallel_on_bwt_output(text_data):
     out, olens, ok = cm_encode_parallel_batch(arr, lens)
     assert bool(np.asarray(ok)[0])
     assert np.asarray(out)[0, : int(olens[0])].tobytes() == ref_cm_enc(u)
+
+
+@pytest.mark.slow
+def test_bwt_16mib_width_no_blowup():
+    """The -b 16 block width (2^24) must compile and run through the
+    batched device BWT without memory/compile blowup (VERDICT round-1
+    item 4).  One row, structured data, forward + inverse round trip."""
+    n = 1 << 24
+    rng = np.random.default_rng(11)
+    raw = rng.integers(97, 105, (1, n), dtype=np.uint8)
+    rep = rng.random((1, n)) < 0.7
+    raw[:, 1:][rep[:, 1:]] = raw[:, :-1][rep[:, 1:]]
+    data = jnp.asarray(raw)
+    lens = jnp.full((1,), n, jnp.int32)
+    u, idx = bwt_forward_batch(data, lens)
+    out = bwt_inverse_batch(u, lens, idx)
+    assert np.array_equal(np.asarray(out), raw)
