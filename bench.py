@@ -102,6 +102,7 @@ def main():
     dev_block_mib = float(os.environ.get("BENCH_DEVICE_BLOCK_MIB", "1"))
     with_device = os.environ.get("BENCH_DEVICE", "1") != "0"
     with_device_b16 = os.environ.get("BENCH_DEVICE_B16", "0") == "1"
+    with_sharded = os.environ.get("BENCH_SHARDED", "0") == "1"
 
     from bzip3_tpu.engines import get_engine
 
@@ -151,6 +152,16 @@ def main():
                 device_b16_stats = run_engine(
                     dev, make_corpus(16 << 20), 16 << 20
                 )
+            if with_sharded:
+                # On a single chip this equals the device engine modulo
+                # shard_map overhead; on a mesh it scales block-DP.
+                sh = run_engine(
+                    get_engine("sharded"),
+                    make_corpus(int(dev_mib * (1 << 20))),
+                    int(dev_block_mib * (1 << 20)),
+                )
+                result["sharded_rt_MiBs"] = sh["rt_MiBs"]
+                result["sharded_n_devices"] = len(__import__("jax").devices())
         except Exception as exc:  # no accelerator: report, don't die
             result["device_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
