@@ -18,8 +18,8 @@ The line always carries BOTH engines' numbers:
   measured at BENCH_DEVICE_BLOCK_MIB (default 1) blocks over
   BENCH_DEVICE_MIB (default 16) MiB — the block size that fills the
   CM kernel's lane group on one chip.  BENCH_DEVICE=0 skips it (e.g.
-  no accelerator); BENCH_DEVICE_B16=1 adds a single-block 16 MiB
-  `-b 16` device probe (costly: two extra kernel compiles).
+  no accelerator); BENCH_DEVICE_B16=0 skips the single-block 16 MiB
+  `-b 16` device probe (two extra multi-minute kernel compiles).
 
 Set BENCH_ENGINE=device to make the device engine the primary metric.
 """
@@ -101,7 +101,7 @@ def main():
     dev_mib = float(os.environ.get("BENCH_DEVICE_MIB", "16"))
     dev_block_mib = float(os.environ.get("BENCH_DEVICE_BLOCK_MIB", "1"))
     with_device = os.environ.get("BENCH_DEVICE", "1") != "0"
-    with_device_b16 = os.environ.get("BENCH_DEVICE_B16", "0") == "1"
+    with_device_b16 = os.environ.get("BENCH_DEVICE_B16", "1") == "1"
     with_sharded = os.environ.get("BENCH_SHARDED", "0") == "1"
 
     from bzip3_tpu.engines import get_engine
