@@ -120,13 +120,6 @@ def _gather_wide(tbl, idx):
     return out
 
 
-def _gather2(lo, hi, idx):
-    """Gather from a 256-deep two-vreg cache (lo | hi), idx in [0, 256)."""
-    a = _gather_chunk(lo, jnp.clip(idx, 0, 127))
-    b = _gather_chunk(hi, jnp.clip(idx - 128, 0, 127))
-    return jnp.where(idx < 128, a, b)
-
-
 def _blend_wide(value, updates):
     """Apply per-lane single-slot updates to a [L, W] VALUE (pure).
 
@@ -142,11 +135,6 @@ def _blend_wide(value, updates):
             chunk = jnp.where(m & (hi == k), val, chunk)
         cols.append(chunk)
     return jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
-
-
-def _scatter_wide(ref, updates):
-    """Read-modify-write per-lane single-slot updates into a VMEM ref."""
-    ref[...] = _blend_wide(ref[...], updates)
 
 
 def _c2_init(shape):
