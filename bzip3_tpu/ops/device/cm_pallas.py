@@ -292,7 +292,6 @@ def _make_decode_kernel(lanes, n_steps, in_chunks):
         code = zeros
         ip = zeros
         base = zeros
-        fh_ref = scal  # scal[3] doubles as the staged-high state row
         w0, w1, w2 = _win_gather(win, lanes, base)
 
         def read_byte(w0, w1, w2, base, ipv):
