@@ -156,3 +156,18 @@ def test_block_size_511_accepted_end_to_end(native, tmp_path):
         batch_decode=lambda pairs, bs: eng.decode_blocks(pairs, bs),
     )
     assert out.getvalue() == src
+
+
+def test_quad_merge_u32_region_roundtrip(native):
+    """Blocks in [2^18, 2^24) take the u32 packed-node QUAD-merge walk;
+    none of the other suite sizes land in that region (they are either
+    below the quad gate or on the u64 path), so pin it explicitly."""
+    rng = np.random.default_rng(77)
+    for n in ((1 << 18) + 11, (1 << 20) + 3, (3 << 20)):
+        base = rng.integers(97, 123, n, dtype=np.uint8)
+        rep = rng.random(n) < 0.5
+        base[1:][rep[1:]] = base[:-1][rep[1:]]
+        src = base.tobytes()
+        codec = native.NativeCodec(n)
+        enc = codec.encode_block(src)
+        assert codec.decode_block(enc, n) == src, n
