@@ -13,7 +13,8 @@ The line always carries BOTH engines' numbers:
 
 - primary (env BENCH_ENGINE, default native): round trip at
   BENCH_BLOCK_MIB (default 16, the reference's headline `-b 16`) over
-  a BENCH_MIB (default 64) MiB synthetic enwik-like corpus.
+  a BENCH_MIB (default 128) MiB synthetic enwik-like corpus — eight
+  blocks, so the pthread pool can use up to eight cores.
 - device_*: the TPU pipeline (Pallas CM + XLA BWT/CRC + host LZP/RLE)
   measured at BENCH_DEVICE_BLOCK_MIB (default 1) blocks over
   BENCH_DEVICE_MIB (default 16) MiB — the block size that fills the
@@ -95,7 +96,7 @@ def run_engine(engine, corpus: bytes, block_size: int):
 
 
 def main():
-    size_mib = float(os.environ.get("BENCH_MIB", "64"))
+    size_mib = float(os.environ.get("BENCH_MIB", "128"))
     block_mib = float(os.environ.get("BENCH_BLOCK_MIB", "16"))
     engine_name = os.environ.get("BENCH_ENGINE", "native")
     dev_mib = float(os.environ.get("BENCH_DEVICE_MIB", "16"))
