@@ -171,3 +171,24 @@ def test_quad_merge_u32_region_roundtrip(native):
         codec = native.NativeCodec(n)
         enc = codec.encode_block(src)
         assert codec.decode_block(enc, n) == src, n
+
+
+def test_paired_interleaved_decode_parity(native):
+    """When jobs >= 2x threads the pool decodes PAIRS of blocks with
+    their CM streams software-interleaved (ILP within a core); the
+    output must be bit-identical to the serial path for every pairing
+    arity, including the odd-leftover and literal-block fallbacks."""
+    rng = np.random.default_rng(123)
+    blocks = [
+        bytes(rng.integers(97, 123, 70000, dtype=np.uint8)),
+        bytes(rng.integers(0, 256, 80001, dtype=np.uint8)),
+        b"run" * 30000,
+        b"tiny",  # literal block: pair fallback path
+        bytes(rng.integers(0, 16, 66000, dtype=np.uint8)),
+    ]
+    bs = 1 << 17
+    enc = native.encode_blocks(blocks, 0)
+    pairs = [(e, len(b)) for e, b in zip(enc, blocks)]
+    serial = native.decode_blocks(pairs, bs, len(blocks))  # 1 thread/job
+    for nt in (1, 2):  # forces pairing (5 jobs >= 2*nt)
+        assert native.decode_blocks(pairs, bs, nt) == serial == blocks
