@@ -785,54 +785,80 @@ static inline u32 get_u32(const u8 *p) { u32 v; memcpy(&v, p, 4); return v; }
 
 // Encode one block.  Returns total output length (header+payload), or
 // a negative error.
-static s32 encode_block_ws(Workspace &ws, const u8 *in, s32 n, u8 *out) {
-    u32 crc = bz3n_crc32(in, n);
+// Pre-CM stages of the encoder (crc, rle/lzp gating, BWT); leaves the
+// BWT output and header fields in *pre so the CM stage can run either
+// serially or software-interleaved with a partner block.
+struct EncPre {
+    u32 crc;
+    s32 idx;
+    u8 model;
+    s32 lzp_size, rle_size;
+    const u8 *cm_in;
+    s32 cm_n;
+    s32 hdr;
+    bool literal;
+};
+
+static s32 encode_pre(Workspace &ws, const u8 *in, s32 n, u8 *out, EncPre *pre) {
+    pre->crc = bz3n_crc32(in, n);
     if (n < 64) {
-        put_u32(out, crc);
+        put_u32(out, pre->crc);
         put_u32(out + 4, (u32)-1);
         memcpy(out + 8, in, n);
+        pre->literal = true;
         return n + 8;
     }
+    pre->literal = false;
     ws.ensure(n);
     u8 *b1 = ws.swap1.data();
     u8 *b2 = ws.swap2.data();
     const u8 *cur = in;
     s32 cur_n = n;
-    u8 model = 0;
-    s32 lzp_size = -1, rle_size = -1;
+    pre->model = 0;
+    pre->lzp_size = -1;
+    pre->rle_size = -1;
 
     s32 r = rle_encode(cur, cur_n, b1, cur_n - 1);
     if (r > 0 && r < cur_n) {
-        model |= 4;
-        rle_size = r;
+        pre->model |= 4;
+        pre->rle_size = r;
         cur = b1;
         cur_n = r;
     }
     s32 l = lzp_encode(cur, cur_n, b2, ws.lzp_lut.data());
     if (l > 0 && l < cur_n) {
-        model |= 2;
-        lzp_size = l;
+        pre->model |= 2;
+        pre->lzp_size = l;
         cur = b2;
         cur_n = l;
     }
 
     u8 *bwt_out = (cur == b1) ? b2 : b1;
-    s32 idx = bz3n_bwt_forward(cur, bwt_out, cur_n, ws.sa.data());
-    if (idx < 0) return -1;
+    pre->idx = bz3n_bwt_forward(cur, bwt_out, cur_n, ws.sa.data());
+    if (pre->idx < 0) return -1;
+    pre->cm_in = bwt_out;
+    pre->cm_n = cur_n;
+    pre->hdr = 9 + ((pre->model & 2) ? 4 : 0) + ((pre->model & 4) ? 4 : 0);
+    return 0;
+}
 
-    s32 hdr = 9;
-    if (model & 2) hdr += 4;
-    if (model & 4) hdr += 4;
-    cm_begin(&ws.cm);
-    s32 csize = cm_encode(&ws.cm, bwt_out, cur_n, out + hdr);
-
-    put_u32(out, crc);
-    put_u32(out + 4, (u32)idx);
-    out[8] = model;
+static s32 encode_emit_header(const EncPre &pre, u8 *out, s32 csize) {
+    put_u32(out, pre.crc);
+    put_u32(out + 4, (u32)pre.idx);
+    out[8] = pre.model;
     s32 off = 9;
-    if (model & 2) { put_u32(out + off, (u32)lzp_size); off += 4; }
-    if (model & 4) { put_u32(out + off, (u32)rle_size); off += 4; }
-    return hdr + csize;
+    if (pre.model & 2) { put_u32(out + off, (u32)pre.lzp_size); off += 4; }
+    if (pre.model & 4) { put_u32(out + off, (u32)pre.rle_size); off += 4; }
+    return pre.hdr + csize;
+}
+
+static s32 encode_block_ws(Workspace &ws, const u8 *in, s32 n, u8 *out) {
+    EncPre pre;
+    s32 r = encode_pre(ws, in, n, out, &pre);
+    if (pre.literal || r < 0) return r != 0 ? r : -1;
+    cm_begin(&ws.cm);
+    s32 csize = cm_encode(&ws.cm, pre.cm_in, pre.cm_n, out + pre.hdr);
+    return encode_emit_header(pre, out, csize);
 }
 
 // Decode one block into out (orig_size bytes).  Returns orig_size or
@@ -1011,6 +1037,94 @@ static void decode_block_pair_ws(Workspace &wsA, Workspace &wsB,
     *resB = decode_finish(wsB, hB, origB, block_size, outB);
 }
 
+// Encode-side pairing: pre-stages run per block (SA-IS is cache/
+// bandwidth-heavy and gains little), then the two CM encoders —
+// the other latency-bound loop — run interleaved.
+static void cm_encode2(CmState *sA, const u8 *bufA, s32 szA, u8 *outA, s32 *opA_out,
+                       CmState *sB, const u8 *bufB, s32 szB, u8 *outB, s32 *opB_out) {
+    u32 hiA = 0xFFFFFFFFu, loA = 0, c1A = 0, c2A = 0, rnA = 0;
+    u32 hiB = 0xFFFFFFFFu, loB = 0, c1B = 0, c2B = 0, rnB = 0;
+    s32 opA = 0, opB = 0;
+    s32 n = szA > szB ? szA : szB;
+    for (s32 i = 0; i < n; i++) {
+#define BZ3N_CME_STEP(S, buf, sz, out, op, hi, lo, c1, c2, rn)                        \
+    if (i < sz) {                                                                     \
+        u8 c = buf[i];                                                                \
+        if (c1 == c2) ++rn; else rn = 0;                                              \
+        const int f = rn > 2;                                                         \
+        const u16 *rA = S->C1[c1]; const u16 *rB = S->C1[c2]; u16 *rW = S->C1[c1];    \
+        int ctx = 1;                                                                  \
+        while (ctx < 256) {                                                           \
+            const int p0 = S->C0[ctx], p1 = rA[ctx], p2 = rB[ctx];                    \
+            const int p = ((p0 + p1) * 7 + p2 + p2) >> 4; const int j = p >> 12;      \
+            u16 *cr = S->C2[2 * ctx + f]; const int x1 = cr[j], x2 = cr[j + 1];       \
+            const int ssep = x1 + (((x2 - x1) * (p & 4095)) >> 12);                   \
+            const u32 mul = (u32)(((u64)(hi - lo) * (u32)(ssep * 3 + p)) >> 18);      \
+            if (c & 0x80) {                                                           \
+                hi = lo + mul;                                                        \
+                while ((lo ^ hi) < (1u << 24)) {                                      \
+                    out[op++] = (u8)(lo >> 24); lo <<= 8; hi = (hi << 8) | 0xFF;      \
+                }                                                                     \
+                S->C0[ctx] = (u16)(p0 + (((p0 ^ 65535) >> 2)));                       \
+                rW[ctx] = (u16)(p1 + (((p1 ^ 65535) >> 4)));                          \
+                cr[j] = (u16)(x1 + (((x1 ^ 65535) >> 6)));                            \
+                cr[j + 1] = (u16)(x2 + (((x2 ^ 65535) >> 6)));                        \
+                ctx += ctx + 1;                                                       \
+            } else {                                                                  \
+                lo += mul + 1;                                                        \
+                while ((lo ^ hi) < (1u << 24)) {                                      \
+                    out[op++] = (u8)(lo >> 24); lo <<= 8; hi = (hi << 8) | 0xFF;      \
+                }                                                                     \
+                S->C0[ctx] = (u16)(p0 - (p0 >> 2));                                   \
+                rW[ctx] = (u16)(p1 - (p1 >> 4));                                      \
+                cr[j] = (u16)(x1 - (x1 >> 6));                                        \
+                cr[j + 1] = (u16)(x2 - (x2 >> 6));                                    \
+                ctx += ctx;                                                           \
+            }                                                                         \
+            c <<= 1;                                                                  \
+        }                                                                             \
+        c2 = c1; c1 = (u32)(ctx & 255);                                               \
+    }
+        BZ3N_CME_STEP(sA, bufA, szA, outA, opA, hiA, loA, c1A, c2A, rnA)
+        BZ3N_CME_STEP(sB, bufB, szB, outB, opB, hiB, loB, c1B, c2B, rnB)
+#undef BZ3N_CME_STEP
+    }
+    for (int k = 0; k < 4; k++) { outA[opA++] = (u8)(loA >> 24); loA <<= 8; }
+    for (int k = 0; k < 4; k++) { outB[opB++] = (u8)(loB >> 24); loB <<= 8; }
+    *opA_out = opA;
+    *opB_out = opB;
+}
+
+static void encode_block_pair_ws(Workspace &wsA, Workspace &wsB,
+                                 const u8 *inA, s32 nA, u8 *outA,
+                                 const u8 *inB, s32 nB, u8 *outB,
+                                 s32 *resA, s32 *resB) {
+    EncPre pA, pB;
+    s32 rA = encode_pre(wsA, inA, nA, outA, &pA);
+    s32 rB = encode_pre(wsB, inB, nB, outB, &pB);
+    if (pA.literal || pB.literal || (!pA.literal && rA < 0) ||
+        (!pB.literal && rB < 0)) {
+        *resA = pA.literal ? rA : (rA < 0 ? rA : [&] {
+            cm_begin(&wsA.cm);
+            s32 cs = cm_encode(&wsA.cm, pA.cm_in, pA.cm_n, outA + pA.hdr);
+            return encode_emit_header(pA, outA, cs);
+        }());
+        *resB = pB.literal ? rB : (rB < 0 ? rB : [&] {
+            cm_begin(&wsB.cm);
+            s32 cs = cm_encode(&wsB.cm, pB.cm_in, pB.cm_n, outB + pB.hdr);
+            return encode_emit_header(pB, outB, cs);
+        }());
+        return;
+    }
+    cm_begin(&wsA.cm);
+    cm_begin(&wsB.cm);
+    s32 csA, csB;
+    cm_encode2(&wsA.cm, pA.cm_in, pA.cm_n, outA + pA.hdr, &csA,
+               &wsB.cm, pB.cm_in, pB.cm_n, outB + pB.hdr, &csB);
+    *resA = encode_emit_header(pA, outA, csA);
+    *resB = encode_emit_header(pB, outB, csB);
+}
+
 // ------------------------------------------------ public batch C ABI
 
 extern "C" void *bz3n_new_workspace() { return new Workspace(); }
@@ -1051,17 +1165,21 @@ static void *worker(void *arg) {
         pthread_mutex_lock(&p->mu);
         s32 i = p->next < p->n_jobs ? p->next++ : -1;
         s32 i2 = -1;
-        if (i >= 0 && p->pair_decode && !p->jobs[i].encode && p->next < p->n_jobs &&
-            !p->jobs[p->next].encode)
+        if (i >= 0 && p->pair_decode && p->next < p->n_jobs &&
+            p->jobs[i].encode == p->jobs[p->next].encode)
             i2 = p->next++;
         pthread_mutex_unlock(&p->mu);
         if (i < 0) break;
         Job &j = p->jobs[i];
         if (i2 >= 0) {
             Job &j2 = p->jobs[i2];
-            decode_block_pair_ws(ws, ws2, j.in, j.in_len, j.orig_size, j2.in,
-                                 j2.in_len, j2.orig_size, j.block_size, j.out,
-                                 j2.out, &j.result, &j2.result);
+            if (j.encode)
+                encode_block_pair_ws(ws, ws2, j.in, j.in_len, j.out, j2.in,
+                                     j2.in_len, j2.out, &j.result, &j2.result);
+            else
+                decode_block_pair_ws(ws, ws2, j.in, j.in_len, j.orig_size, j2.in,
+                                     j2.in_len, j2.orig_size, j.block_size, j.out,
+                                     j2.out, &j.result, &j2.result);
         } else if (j.encode) {
             j.result = encode_block_ws(ws, j.in, j.in_len, j.out);
         } else {

@@ -192,3 +192,19 @@ def test_paired_interleaved_decode_parity(native):
     serial = native.decode_blocks(pairs, bs, len(blocks))  # 1 thread/job
     for nt in (1, 2):  # forces pairing (5 jobs >= 2*nt)
         assert native.decode_blocks(pairs, bs, nt) == serial == blocks
+
+
+def test_paired_interleaved_encode_parity(native):
+    """Paired encode (CM streams interleaved) must be byte-identical to
+    the serial path, including literal-block fallbacks."""
+    rng = np.random.default_rng(321)
+    blocks = [
+        bytes(rng.integers(97, 123, 70000, dtype=np.uint8)),
+        bytes(rng.integers(0, 256, 80001, dtype=np.uint8)),
+        b"run" * 30000,
+        b"tiny",
+        bytes(rng.integers(0, 16, 66000, dtype=np.uint8)),
+    ]
+    serial = native.encode_blocks(blocks, len(blocks))  # 1 thread/job
+    for nt in (1, 2):
+        assert native.encode_blocks(blocks, nt) == serial
