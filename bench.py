@@ -114,7 +114,12 @@ def main():
     primary = None
     primary_block = block_mib
 
+    emitted = [False]
+
     def emit(partial=False):
+        if emitted[0]:
+            return
+        emitted[0] = True
         _finalize(
             result, engine_name, primary, primary_block, baseline,
             device_stats, device_b16_stats, dev_block_mib, partial,
