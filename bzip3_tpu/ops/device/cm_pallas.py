@@ -51,6 +51,7 @@ mode on CPU; the same kernel runs compiled on TPU).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -253,7 +254,7 @@ def _renorm_count(lh, active):
 # ---------------------------------------------------------------------------
 
 
-def _make_decode_kernel(lanes, n_steps, in_chunks):
+def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True):
     n_flushes = n_steps // 128
 
     def kernel(
@@ -360,18 +361,40 @@ def _make_decode_kernel(lanes, n_steps, in_chunks):
             ctx = jnp.ones((lanes, 128), I32)
             fe_cur = fe(ctx, 0)
             rowa_ups = []
+            # bit 0's range split computed directly; with spec_mul,
+            # later bits get a SPECULATED multiply: the post-renorm
+            # range is (d+1)<<8k - 1 for d = high-low before the shift,
+            # so the five k-candidate products run while k resolves in
+            # parallel — the ~7-level multiply leaves the bit chain.
+            # MEASURED bit-exact, but the 5x multiply body blows up
+            # both XLA:CPU and Mosaic compile superlinearly (>25 min vs
+            # ~2), so it ships OFF (BZ3_TPU_SPEC_MUL=1 opts in).
+            step = _mul_shift18_i32(high - low, fe_cur[0])
             for t in range(8):
                 if t < 7:
                     cand0 = fe(ctx + ctx, t + 1)
                     cand1 = fe(ctx + ctx + 1, t + 1)
                 s3p, p0, p1, x1, x2, rel, sse_rel, _ = fe_cur
-                step = _mul_shift18_i32(high - low, s3p)
+                if not spec_mul and t > 0:
+                    step = _mul_shift18_i32(high - low, s3p)
                 mid = low + step
                 bit = _ule(code, mid)
                 high = jnp.where(bit & active, mid, high)
                 low = jnp.where((~bit) & active, mid + 1, low)
+                d = high - low
                 # collapsed renormalization: count, then one shift
                 k = _renorm_count(low ^ high, active)
+                if spec_mul and t < 7:
+                    s3p_n = jnp.where(bit, cand1[0], cand0[0])
+                    m0 = _mul_shift18_i32(d, s3p_n)
+                    m1 = _mul_shift18_i32(((d + 1) << 8) - 1, s3p_n)
+                    m2 = _mul_shift18_i32(((d + 1) << 16) - 1, s3p_n)
+                    m3 = _mul_shift18_i32(((d + 1) << 24) - 1, s3p_n)
+                    m4 = _mul_shift18_i32(jnp.full_like(d, -1), s3p_n)
+                    step = jnp.where(k == 1, m1, m0)
+                    step = jnp.where(k == 2, m2, step)
+                    step = jnp.where(k == 3, m3, step)
+                    step = jnp.where(k == 4, m4, step)
                 low = _shl8k(low, k)
                 high = _shl8k(high, k) | _mask8k(k)
                 s0, s1, s2, s3, s4 = pref
@@ -513,10 +536,10 @@ def _c0_shapes(lanes):
     return [pltpu.VMEM((lanes, 128), I32) for _ in range(8)]
 
 
-@partial(jax.jit, static_argnames=("lanes", "n_steps", "in_chunks", "interpret"))
-def _decode_call(payload, plens, olens, lanes, n_steps, in_chunks, interpret):
+@partial(jax.jit, static_argnames=("lanes", "n_steps", "in_chunks", "interpret", "spec"))
+def _decode_call(payload, plens, olens, lanes, n_steps, in_chunks, interpret, spec=False):
     """payload: [2, lanes, in_chunks//2, 8, 128] i32 (slot-split view)."""
-    kern = _make_decode_kernel(lanes, n_steps, in_chunks)
+    kern = _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=spec)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((lanes, n_steps), I32),
@@ -575,7 +598,8 @@ def cm_decode_pallas_batch(
         pay = pay.reshape(lanes, in_chunks // 2, 2, 8, 128).transpose(2, 0, 1, 3, 4)
         pl_ = jnp.zeros((lanes,), I32).at[:rows].set(in_lens[g : g + rows].astype(I32))
         ol = jnp.zeros((lanes,), I32).at[:rows].set(out_lens[g : g + rows].astype(I32))
-        out = _decode_call(pay, pl_, ol, lanes, n_steps, in_chunks, interpret)
+        spec = os.environ.get("BZ3_TPU_SPEC_MUL", "0") == "1" and not interpret
+        out = _decode_call(pay, pl_, ol, lanes, n_steps, in_chunks, interpret, spec)
         outs.append(out[:rows, :out_width].astype(jnp.uint8))
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
@@ -585,7 +609,7 @@ def cm_decode_pallas_batch(
 # ---------------------------------------------------------------------------
 
 
-def _make_encode_kernel(lanes, n_steps, out_chunks):
+def _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=True):
     def kernel(
         ilen_ref,  # VMEM [L, 128] i32 input lengths
         hbm_in,  # ANY [L, n_steps] i32 input bytes
@@ -706,14 +730,31 @@ def _make_encode_kernel(lanes, n_steps, out_chunks):
                 fes.append((ssep * 3 + p, p0, p1, x1, x2, rel, sse_rel))
 
             rowa_ups = []
+            # same speculated-multiply trick as decode; on the encode
+            # side the next bit's s3p is known statically, so the five
+            # candidate products need no post-selection by bit.
+            step = _mul_shift18_i32(high - low, fes[0][0])
             for t in range(8):
                 s3p, p0, p1, x1, x2, rel, sse_rel = fes[t]
                 bit = bits[t]
-                step = _mul_shift18_i32(high - low, s3p)
+                if not spec_mul and t > 0:
+                    step = _mul_shift18_i32(high - low, s3p)
                 high = jnp.where(bit & active, low + step, high)
                 low = jnp.where((~bit) & active, low + step + 1, low)
+                d = high - low
                 # collapsed renorm: count, emit k top bytes, one shift
                 k = _renorm_count(low ^ high, active)
+                if spec_mul and t < 7:
+                    s3p_n = fes[t + 1][0]
+                    m0 = _mul_shift18_i32(d, s3p_n)
+                    m1 = _mul_shift18_i32(((d + 1) << 8) - 1, s3p_n)
+                    m2 = _mul_shift18_i32(((d + 1) << 16) - 1, s3p_n)
+                    m3 = _mul_shift18_i32(((d + 1) << 24) - 1, s3p_n)
+                    m4 = _mul_shift18_i32(jnp.full_like(d, -1), s3p_n)
+                    step = jnp.where(k == 1, m1, m0)
+                    step = jnp.where(k == 2, m2, step)
+                    step = jnp.where(k == 3, m3, step)
+                    step = jnp.where(k == 4, m4, step)
                 for sidx in range(4):
                     byte_s = _srl(low, 24 - 8 * sidx) & 0xFF
                     wv = jnp.where(
@@ -817,9 +858,9 @@ def _make_encode_kernel(lanes, n_steps, out_chunks):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("lanes", "n_steps", "out_chunks", "interpret"))
-def _encode_call(data, ilens, lanes, n_steps, out_chunks, interpret):
-    kern = _make_encode_kernel(lanes, n_steps, out_chunks)
+@partial(jax.jit, static_argnames=("lanes", "n_steps", "out_chunks", "interpret", "spec"))
+def _encode_call(data, ilens, lanes, n_steps, out_chunks, interpret, spec=False):
+    kern = _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=spec)
     out, olens = pl.pallas_call(
         kern,
         out_shape=(
@@ -882,7 +923,8 @@ def cm_encode_pallas_batch(
         arr = jnp.zeros((lanes, n_steps), I32)
         arr = arr.at[:rows, :n].set(data[g : g + rows].astype(I32))
         il = jnp.zeros((lanes,), I32).at[:rows].set(lengths[g : g + rows].astype(I32))
-        out, olens = _encode_call(arr, il, lanes, n_steps, out_chunks, interpret)
+        spec = os.environ.get("BZ3_TPU_SPEC_MUL", "0") == "1" and not interpret
+        out, olens = _encode_call(arr, il, lanes, n_steps, out_chunks, interpret, spec)
         # unsplit the slot-major 5-D output back to [L, w_pad]
         out = out.transpose(1, 2, 0, 3, 4).reshape(lanes, w_pad)
         outs.append(out[:rows, :w].astype(jnp.uint8))
