@@ -369,22 +369,23 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True):
             # MEASURED bit-exact, but the 5x multiply body blows up
             # both XLA:CPU and Mosaic compile superlinearly (>25 min vs
             # ~2), so it ships OFF (BZ3_TPU_SPEC_MUL=1 opts in).
-            step = _mul_shift18_i32(high - low, fe_cur[0])
+            if spec_mul:
+                step = _mul_shift18_i32(high - low, fe_cur[0])
             for t in range(8):
                 if t < 7:
                     cand0 = fe(ctx + ctx, t + 1)
                     cand1 = fe(ctx + ctx + 1, t + 1)
                 s3p, p0, p1, x1, x2, rel, sse_rel, _ = fe_cur
-                if not spec_mul and t > 0:
+                if not spec_mul:
                     step = _mul_shift18_i32(high - low, s3p)
                 mid = low + step
                 bit = _ule(code, mid)
                 high = jnp.where(bit & active, mid, high)
                 low = jnp.where((~bit) & active, mid + 1, low)
-                d = high - low
                 # collapsed renormalization: count, then one shift
                 k = _renorm_count(low ^ high, active)
                 if spec_mul and t < 7:
+                    d = high - low
                     s3p_n = jnp.where(bit, cand1[0], cand0[0])
                     m0 = _mul_shift18_i32(d, s3p_n)
                     m1 = _mul_shift18_i32(((d + 1) << 8) - 1, s3p_n)
@@ -733,18 +734,19 @@ def _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=True):
             # same speculated-multiply trick as decode; on the encode
             # side the next bit's s3p is known statically, so the five
             # candidate products need no post-selection by bit.
-            step = _mul_shift18_i32(high - low, fes[0][0])
+            if spec_mul:
+                step = _mul_shift18_i32(high - low, fes[0][0])
             for t in range(8):
                 s3p, p0, p1, x1, x2, rel, sse_rel = fes[t]
                 bit = bits[t]
-                if not spec_mul and t > 0:
+                if not spec_mul:
                     step = _mul_shift18_i32(high - low, s3p)
                 high = jnp.where(bit & active, low + step, high)
                 low = jnp.where((~bit) & active, low + step + 1, low)
-                d = high - low
                 # collapsed renorm: count, emit k top bytes, one shift
                 k = _renorm_count(low ^ high, active)
                 if spec_mul and t < 7:
+                    d = high - low
                     s3p_n = fes[t + 1][0]
                     m0 = _mul_shift18_i32(d, s3p_n)
                     m1 = _mul_shift18_i32(((d + 1) << 8) - 1, s3p_n)
