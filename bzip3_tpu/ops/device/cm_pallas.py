@@ -98,6 +98,50 @@ def _mul_shift18_i32(a, b):
     return (p11 << 14) + ((cm + cs) << 30) + _srl(s, 2)
 
 
+def _mul_limbs_i32(a, b):
+    """Exact 64-bit product (u32)a * (u32)b, b < 2**18, as (hi, lo) i32 limbs."""
+    a0 = a & 0xFFFF
+    a1 = _srl(a, 16)
+    b0 = b & 0xFFFF
+    b1 = _srl(b, 16)  # < 4
+    p10 = a1 * b0
+    mid = a0 * b1 + p10
+    cm = _ult(mid, p10).astype(I32)
+    p00 = a0 * b0
+    lo = p00 + (mid << 16)
+    cl = _ult(lo, p00).astype(I32)
+    hi = a1 * b1 + _srl(mid, 16) + (cm << 16) + cl
+    return hi, lo
+
+
+def _spec_steps(d, s):
+    """All five renorm-candidate range steps from ONE wide product.
+
+    After k renormalization shifts the range value is ((d+1)<<8k - 1)
+    mod 2**32, so step_k = (that * s) >> 18.  Whenever candidate k is
+    the ACTUAL renorm count, the renorm invariant bounds d < 2**(32-8k)
+    (low^high < 2**(32-8k) and high-low <= low^high), which makes
+    (d+1)<<8k <= 2**32 exact — so step_k = ((d+1)*s*2**8k - s) >> 18
+    derives from the single product Q = (d+1)*s by shifts and one
+    subtract.  Unselected candidates may hold garbage (the caller's
+    select by k discards them).  Replaces five limb multiplies with one
+    (the old 5x body blew up both XLA:CPU and Mosaic compile times).
+    """
+    hi, lo = _mul_limbs_i32(d, s)  # P = d*s exact
+    m0 = _srl(lo, 18) + (hi << 14)
+    qlo = lo + s  # Q = P + s = (d+1)*s
+    qhi = hi + _ult(qlo, lo).astype(I32)
+    ms = [m0]
+    for k in (1, 2, 3):
+        rlo = qlo << (8 * k)
+        rhi = (qhi << (8 * k)) + _srl(qlo, 32 - 8 * k)
+        bb = _ult(rlo, s).astype(I32)
+        ms.append(_srl(rlo - s, 18) + ((rhi - bb) << 14))
+    bb = _ult(jnp.zeros_like(s), s).astype(I32)  # k = 4: R = Q << 32
+    ms.append(_srl(jnp.zeros_like(s) - s, 18) + ((qlo - bb) << 14))
+    return tuple(ms)
+
+
 def _gather_chunk(tbl, idx):
     """tbl [L, 128], idx [L, 128] in [0, 128) -> tbl[l, idx]."""
     return jnp.take_along_axis(tbl, idx, axis=1)
@@ -364,11 +408,10 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True):
             # bit 0's range split computed directly; with spec_mul,
             # later bits get a SPECULATED multiply: the post-renorm
             # range is (d+1)<<8k - 1 for d = high-low before the shift,
-            # so the five k-candidate products run while k resolves in
-            # parallel — the ~7-level multiply leaves the bit chain.
-            # MEASURED bit-exact, but the 5x multiply body blows up
-            # both XLA:CPU and Mosaic compile superlinearly (>25 min vs
-            # ~2), so it ships OFF (BZ3_TPU_SPEC_MUL=1 opts in).
+            # so the five k-candidates run while k resolves in parallel
+            # — the ~7-level multiply leaves the bit chain.  All five
+            # come from ONE shared wide product (_spec_steps); the
+            # earlier 5x-multiply form compiled superlinearly.
             if spec_mul:
                 step = _mul_shift18_i32(high - low, fe_cur[0])
             for t in range(8):
@@ -385,13 +428,8 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True):
                 # collapsed renormalization: count, then one shift
                 k = _renorm_count(low ^ high, active)
                 if spec_mul and t < 7:
-                    d = high - low
                     s3p_n = jnp.where(bit, cand1[0], cand0[0])
-                    m0 = _mul_shift18_i32(d, s3p_n)
-                    m1 = _mul_shift18_i32(((d + 1) << 8) - 1, s3p_n)
-                    m2 = _mul_shift18_i32(((d + 1) << 16) - 1, s3p_n)
-                    m3 = _mul_shift18_i32(((d + 1) << 24) - 1, s3p_n)
-                    m4 = _mul_shift18_i32(jnp.full_like(d, -1), s3p_n)
+                    m0, m1, m2, m3, m4 = _spec_steps(high - low, s3p_n)
                     step = jnp.where(k == 1, m1, m0)
                     step = jnp.where(k == 2, m2, step)
                     step = jnp.where(k == 3, m3, step)
@@ -578,6 +616,7 @@ def cm_decode_pallas_batch(
     out_width: int,
     lanes: int = 8,
     interpret: bool | None = None,
+    spec: bool | None = None,
 ):
     """Drop-in for cm_decode_batch via the Pallas lane kernel.
 
@@ -586,6 +625,8 @@ def cm_decode_pallas_batch(
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if spec is None:
+        spec = os.environ.get("BZ3_TPU_SPEC_MUL", "1") == "1"
     k_dim, m = data.shape
     n_steps = max(128, -(-out_width // 128) * 128)
     m_in = max(2048, -(-(m + 64) // 2048) * 2048) + 2048
@@ -599,7 +640,6 @@ def cm_decode_pallas_batch(
         pay = pay.reshape(lanes, in_chunks // 2, 2, 8, 128).transpose(2, 0, 1, 3, 4)
         pl_ = jnp.zeros((lanes,), I32).at[:rows].set(in_lens[g : g + rows].astype(I32))
         ol = jnp.zeros((lanes,), I32).at[:rows].set(out_lens[g : g + rows].astype(I32))
-        spec = os.environ.get("BZ3_TPU_SPEC_MUL", "0") == "1" and not interpret
         out = _decode_call(pay, pl_, ol, lanes, n_steps, in_chunks, interpret, spec)
         outs.append(out[:rows, :out_width].astype(jnp.uint8))
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
@@ -746,13 +786,7 @@ def _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=True):
                 # collapsed renorm: count, emit k top bytes, one shift
                 k = _renorm_count(low ^ high, active)
                 if spec_mul and t < 7:
-                    d = high - low
-                    s3p_n = fes[t + 1][0]
-                    m0 = _mul_shift18_i32(d, s3p_n)
-                    m1 = _mul_shift18_i32(((d + 1) << 8) - 1, s3p_n)
-                    m2 = _mul_shift18_i32(((d + 1) << 16) - 1, s3p_n)
-                    m3 = _mul_shift18_i32(((d + 1) << 24) - 1, s3p_n)
-                    m4 = _mul_shift18_i32(jnp.full_like(d, -1), s3p_n)
+                    m0, m1, m2, m3, m4 = _spec_steps(high - low, fes[t + 1][0])
                     step = jnp.where(k == 1, m1, m0)
                     step = jnp.where(k == 2, m2, step)
                     step = jnp.where(k == 3, m3, step)
@@ -903,6 +937,7 @@ def cm_encode_pallas_batch(
     out_width: int | None = None,
     lanes: int = 8,
     interpret: bool | None = None,
+    spec: bool | None = None,
 ):
     """Drop-in for cm_encode_batch via the Pallas lane kernel.
 
@@ -911,6 +946,8 @@ def cm_encode_pallas_batch(
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if spec is None:
+        spec = os.environ.get("BZ3_TPU_SPEC_MUL", "1") == "1"
     k_dim, n = data.shape
     w = out_width if out_width is not None else n + n // 8 + 64
     n_steps = max(128, -(-n // 128) * 128)
@@ -925,7 +962,6 @@ def cm_encode_pallas_batch(
         arr = jnp.zeros((lanes, n_steps), I32)
         arr = arr.at[:rows, :n].set(data[g : g + rows].astype(I32))
         il = jnp.zeros((lanes,), I32).at[:rows].set(lengths[g : g + rows].astype(I32))
-        spec = os.environ.get("BZ3_TPU_SPEC_MUL", "0") == "1" and not interpret
         out, olens = _encode_call(arr, il, lanes, n_steps, out_chunks, interpret, spec)
         # unsplit the slot-major 5-D output back to [L, w_pad]
         out = out.transpose(1, 2, 0, 3, 4).reshape(lanes, w_pad)

@@ -39,20 +39,22 @@ def _pad(blocks, width):
     return arr, lens
 
 
-def test_cm_pallas_encode_bit_exact(blocks):
+@pytest.mark.parametrize("spec", [False, True])
+def test_cm_pallas_encode_bit_exact(blocks, spec):
     from bzip3_tpu.ops.device.cm_pallas import cm_encode_pallas_batch
 
     n = max(len(b) for b in blocks)
     data, lens = _pad(blocks, max(128, n))
     out, olens = cm_encode_pallas_batch(
-        jnp.asarray(data), jnp.asarray(lens), lanes=LANES, interpret=True
+        jnp.asarray(data), jnp.asarray(lens), lanes=LANES, interpret=True, spec=spec
     )
     out, olens = np.asarray(out), np.asarray(olens)
     for i, b in enumerate(blocks):
         assert out[i, : olens[i]].tobytes() == cm_encode(b), f"block {i}"
 
 
-def test_cm_pallas_decode_bit_exact(blocks):
+@pytest.mark.parametrize("spec", [False, True])
+def test_cm_pallas_decode_bit_exact(blocks, spec):
     from bzip3_tpu.ops.device.cm_pallas import cm_decode_pallas_batch
 
     enc = [cm_encode(b) for b in blocks]
@@ -69,6 +71,7 @@ def test_cm_pallas_decode_bit_exact(blocks):
             width,
             lanes=LANES,
             interpret=True,
+            spec=spec,
         )
     )
     for i, b in enumerate(blocks):
