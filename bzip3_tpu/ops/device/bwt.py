@@ -184,20 +184,33 @@ def bwt_inverse_batch(
     bidx = jnp.arange(k_dim)[:, None]
     lf = jnp.zeros((k_dim, m), jnp.int32).at[bidx, order].set(jj)
 
-    seg = -(-m // segments)
+    # Full-array random gathers run at ~11 ns/element on this backend
+    # (PERF_NOTES), so the pass count IS the cost model.  The walk is
+    # therefore packed stride-4: one [K, S, 3]-slice gather per step
+    # yields 4 chain bytes (two 2x9-bit words) plus the 4-ahead
+    # pointer, and the segment span is kept a power-of-2 multiple of 4
+    # so LF**seg builds with pure squarings (one gather per level)
+    # instead of compose pairs.  Build: 4 packing passes + q squarings
+    # vs the previous ~2*log2(seg) compose passes.
+    def comp(p, q_):  # q_[p[i]]
+        return jnp.take_along_axis(q_, p, axis=1)
 
-    # P = LF**seg by pointer doubling on the full permutation.
-    def compose(carry, bit):
-        p_acc, p_pow = carry
-        p_acc = jnp.where(bit, jnp.take_along_axis(p_pow, p_acc, axis=1), p_acc)
-        p_pow = jnp.take_along_axis(p_pow, p_pow, axis=1)
-        return (p_acc, p_pow), None
+    lf2 = comp(lf, lf)
+    lf4 = comp(lf2, lf2)
+    w0 = b | (comp(lf, b) << 9)  # bytes at (i, lf(i))
+    w1 = comp(lf2, w0)  # bytes at (lf2(i), lf3(i))
+    node = jnp.stack([lf4, w0, w1], axis=2)  # [K, m, 3]
 
-    bits = [(seg >> i) & 1 for i in range(max(1, seg.bit_length()))]
-    ident = jj
-    (p_seg, _), _ = jax.lax.scan(
-        compose, (ident, lf), jnp.array(bits, dtype=bool)
-    )
+    # seg = 4 * 2**q, the smallest such with ceil(m/seg) <= segments.
+    want = -(-m // segments)
+    q = max(0, (max(1, -(-want // 4)) - 1).bit_length())
+    seg = 4 << q
+    n_segs = -(-m // seg)
+
+    p_pow = lf4
+    for _ in range(q):
+        p_pow = comp(p_pow, p_pow)
+    p_seg = p_pow  # = LF**seg
 
     # Entry points e_s = LF**(s*seg)(0): S sequential single-element jumps.
     def entry_step(e, _):
@@ -205,23 +218,26 @@ def bwt_inverse_batch(
         return nxt, e
 
     _, entries = jax.lax.scan(
-        entry_step, jnp.zeros((k_dim,), jnp.int32), None, length=segments
+        entry_step, jnp.zeros((k_dim,), jnp.int32), None, length=n_segs
     )
     entries = entries.T  # [K, S]
 
-    # Walk all segments in lockstep, emitting b[i]-1 per step.
+    # Walk all segments in lockstep: 4 bytes per dependent gather.
     def walk(i_cur, _):
-        val = jnp.take_along_axis(b, i_cur, axis=1)
-        nxt = jnp.take_along_axis(lf, i_cur, axis=1)
-        return nxt, val
+        got = jnp.take_along_axis(node, i_cur[:, :, None], axis=1)  # [K,S,3]
+        return got[:, :, 0], (got[:, :, 1], got[:, :, 2])
 
-    _, vals = jax.lax.scan(walk, entries, None, length=seg)  # [seg, K, S]
-    rev = vals.transpose(1, 2, 0).reshape(k_dim, segments * seg)  # t-ordered
+    _, (v01, v23) = jax.lax.scan(walk, entries, None, length=seg // 4)
+    # v01/v23: [seg/4, K, S] packed words -> [K, S, seg/4, 4] byte order.
+    vals = jnp.stack(
+        [v01 & 0x1FF, v01 >> 9, v23 & 0x1FF, v23 >> 9], axis=-1
+    )  # [seg/4, K, S, 4]
+    rev = vals.transpose(1, 2, 0, 3).reshape(k_dim, n_segs * seg)
 
     # out[j] = rev[len - 1 - j] - 1 for j < len (the walk emits
     # right-to-left); the first visited value is the sentinel's
     # predecessor, i.e. rev[t] maps to out[len-1-t].
-    gather_idx = jnp.clip(lens - 1 - jj[:, :n], 0, segments * seg - 1)
+    gather_idx = jnp.clip(lens - 1 - jj[:, :n], 0, n_segs * seg - 1)
     out = jnp.take_along_axis(rev, gather_idx, axis=1) - 1
     out = jnp.where(jj[:, :n] < lens, out, 0).astype(jnp.uint8)
 
