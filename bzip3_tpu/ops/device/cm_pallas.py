@@ -165,6 +165,31 @@ def _gather_wide(tbl, idx):
     return out
 
 
+def _extract2(tbl, cb):
+    """Extract chunks cb and cb+1 (per-lane dynamic) of tbl [L, W].
+
+    Returns (e0, e1) [L, 128] vregs.  One pass of 2 selects per chunk —
+    the consumer then gathers from just these two chunks instead of
+    scanning the whole table per gather (the decode kernel is
+    issue-bound; the C2 chunk scans were its largest op block)."""
+    w = tbl.shape[1]
+    e0 = jnp.zeros((tbl.shape[0], 128), tbl.dtype)
+    e1 = e0
+    for k in range(w // 128):
+        ch = tbl[:, k * 128 : (k + 1) * 128]
+        e0 = jnp.where(cb == k, ch, e0)
+        e1 = jnp.where(cb == k - 1, ch, e1)
+    return e0, e1
+
+
+def _win_pair_gather(e0, e1, cb, idx):
+    """Gather from the 2-chunk window (e0 = chunk cb, e1 = chunk cb+1)."""
+    off = idx & 127
+    return jnp.where(
+        _srl(idx, 7) == cb, _gather_chunk(e0, off), _gather_chunk(e1, off)
+    )
+
+
 def _blend_wide(value, updates):
     """Apply per-lane single-slot updates to a [L, W] VALUE (pure).
 
@@ -385,8 +410,12 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True):
             c2vs = [c2[t][...] for t in range(8)]
             col128 = jax.lax.broadcasted_iota(I32, (lanes, 128), 1)
 
-            def fe(ctxv, t):
-                """Front-end for one candidate context at bit t."""
+            def fe(ctxv, t, c2win=None):
+                """Front-end for one candidate context at bit t.
+
+                ``c2win``: pre-extracted (e0, e1, cb) 2-chunk C2 window
+                covering every index this candidate can touch (see the
+                extraction site for the bound proof)."""
                 rel = ctxv - (1 << t)
                 p0 = _gather_chunk(c0vs[t], rel)
                 p1 = _gather_wide(rowa_v, ctxv)
@@ -394,8 +423,13 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True):
                 p = ((p0 + p1) * 7 + p2 + p2) >> 4
                 j = p >> 12
                 sse_rel = (2 * rel + f) * 17 + j
-                x1 = _gather_wide(c2vs[t], sse_rel)
-                x2 = _gather_wide(c2vs[t], sse_rel + 1)
+                if c2win is not None:
+                    e0, e1, cb = c2win
+                    x1 = _win_pair_gather(e0, e1, cb, sse_rel)
+                    x2 = _win_pair_gather(e0, e1, cb, sse_rel + 1)
+                else:
+                    x1 = _gather_wide(c2vs[t], sse_rel)
+                    x2 = _gather_wide(c2vs[t], sse_rel + 1)
                 ssep = x1 + (((x2 - x1) * (p & 4095)) >> 12)
                 return (ssep * 3 + p, p0, p1, x1, x2, rel, sse_rel, ctxv)
 
@@ -416,8 +450,20 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True):
                 step = _mul_shift18_i32(high - low, fe_cur[0])
             for t in range(8):
                 if t < 7:
-                    cand0 = fe(ctx + ctx, t + 1)
-                    cand1 = fe(ctx + ctx + 1, t + 1)
+                    # Both candidates' C2 indices lie in one 52-entry
+                    # window: sse_rel = (4*rel_t + 2*bitc + f)*17 + j
+                    # with bitc in {0,1}, j in [0,16] (+1 for x2), so
+                    # idx - base in [0, 51] for base = (4*rel_t+f)*17
+                    # — extract chunks base>>7 and base>>7 + 1 once,
+                    # then all four gathers hit the window.
+                    if c2vs[t + 1].shape[1] > 384:
+                        c2base = (4 * (ctx - (1 << t)) + f) * 17
+                        c2cb = _srl(c2base, 7)
+                        c2win = (*_extract2(c2vs[t + 1], c2cb), c2cb)
+                    else:
+                        c2win = None
+                    cand0 = fe(ctx + ctx, t + 1, c2win)
+                    cand1 = fe(ctx + ctx + 1, t + 1, c2win)
                 s3p, p0, p1, x1, x2, rel, sse_rel, _ = fe_cur
                 if not spec_mul:
                     step = _mul_shift18_i32(high - low, s3p)
@@ -765,8 +811,17 @@ def _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=True):
                 p = ((p0 + p1) * 7 + p2 + p2) >> 4
                 j = p >> 12
                 sse_rel = (2 * rel + f) * 17 + j
-                x1 = _gather_wide(c2vs[t], sse_rel)
-                x2 = _gather_wide(c2vs[t], sse_rel + 1)
+                if c2vs[t].shape[1] > 384:
+                    # Single known context: idx - base = j in [0, 17]
+                    # for base = (2*rel+f)*17 — a 2-chunk window.
+                    c2base = (2 * rel + f) * 17
+                    c2cb = _srl(c2base, 7)
+                    we0, we1 = _extract2(c2vs[t], c2cb)
+                    x1 = _win_pair_gather(we0, we1, c2cb, sse_rel)
+                    x2 = _win_pair_gather(we0, we1, c2cb, sse_rel + 1)
+                else:
+                    x1 = _gather_wide(c2vs[t], sse_rel)
+                    x2 = _gather_wide(c2vs[t], sse_rel + 1)
                 ssep = x1 + (((x2 - x1) * (p & 4095)) >> 12)
                 fes.append((ssep * 3 + p, p0, p1, x1, x2, rel, sse_rel))
 

@@ -29,7 +29,11 @@ typedef uint32_t u32;
 typedef int32_t s32;
 typedef uint64_t u64;
 #ifndef BZ3N_PF
-#define BZ3N_PF 0
+// Induced-sort prefetch distance.  Measured on the 4-core bench box
+// (128 MiB, 8 x 16 MiB blocks, paired pool): PF=8 encode 20.7-23.2
+// MiB/s vs PF=0 17.5-20.4; PF=16 was not better than 8 under the
+// parallel pool.  Runtime-overridable via the BZ3N_PF env var.
+#define BZ3N_PF 8
 #endif
 
 // ---------------------------------------------------------------- crc32
@@ -421,15 +425,28 @@ static inline bool is_lms_at(const C *Tc, s32 i) {
     return i > 0 && (Tc[i] & 1) && !(Tc[i - 1] & 1);
 }
 
+// Prefetch distance for the induced-sort scans.  Runtime-tunable
+// (BZ3N_PF env var, read once) so the pool can measure/choose without
+// a rebuild; compile-time BZ3N_PF remains the default.
+static s32 sais_pf_distance() {
+    static s32 pf = -1;
+    if (pf < 0) {
+        const char *e = getenv("BZ3N_PF");
+        pf = e ? (s32)atoi(e) : (s32)BZ3N_PF;
+        if (pf < 0 || pf > 64) pf = 0;
+    }
+    return pf;
+}
+
 // One L-pass then one S-pass of induced sorting over combined buckets.
 template <typename C>
 static void sais_induce(const C *Tc, s32 *SA, s32 n, s32 K2, const s32 *cnt, s32 *bkt) {
     // Short-distance prefetch of the dependent Tc[SA[i+d]-1] load: in
     // the L-pass entries a few slots ahead are usually already
     // written (either LMS seeds or L-inductions that land forward).
-    const s32 PF = BZ3N_PF;  // 0 disables; prefetch helps single-thread
-                             // (~20%% at 16) but competes for memory
-                             // bandwidth when blocks decode in parallel
+    const s32 PF = sais_pf_distance();  // 0 disables; helps
+                             // single-thread (~20%% at 16) but competes
+                             // for bandwidth when blocks run in parallel
     // L-pass: bucket starts.
     {
         s32 sum = 0;
