@@ -324,6 +324,7 @@ def _renorm_count(lh, active):
 
 
 def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True):
+    _ab = os.environ.get('BZ3_TPU_ABLATE', '')
     n_flushes = n_steps // 128
 
     def kernel(
@@ -423,7 +424,10 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True):
                 p = ((p0 + p1) * 7 + p2 + p2) >> 4
                 j = p >> 12
                 sse_rel = (2 * rel + f) * 17 + j
-                if c2win is not None:
+                if 'A' in _ab:
+                    x1 = p0
+                    x2 = p0
+                elif c2win is not None:
                     e0, e1, cb = c2win
                     x1 = _win_pair_gather(e0, e1, cb, sse_rel)
                     x2 = _win_pair_gather(e0, e1, cb, sse_rel + 1)
@@ -490,13 +494,15 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True):
                 code = _shl8k(code, k) + sk
                 ip = ip + k
                 # prefetch the next 4 stream bytes (consumed next bit)
-                pref = prefetch4(w0, w1, w2, base, ip)
+                if 'D' not in _ab:
+                    pref = prefetch4(w0, w1, w2, base, ip)
                 # bit-private table updates, off the critical path
                 u0, u1, v1, v2 = _upd(bit, p0, p1, x1, x2)
                 c0[t][...] = jnp.where(active & (col128 == rel), u0, c0vs[t])
-                c2[t][...] = _blend_wide(
-                    c2vs[t], [(sse_rel, v1, active), (sse_rel + 1, v2, active)]
-                )
+                if 'B' not in _ab:
+                    c2[t][...] = _blend_wide(
+                        c2vs[t], [(sse_rel, v1, active), (sse_rel + 1, v2, active)]
+                    )
                 rowa_ups.append((ctx, u1, active))
                 ctx = ctx + ctx + bit.astype(I32)
                 if t < 7:
@@ -514,7 +520,8 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True):
             c1o = c1v
             c2v = jnp.where(active, c1v, c2v)
             c1v = jnp.where(active, byte, c1v)
-            _rotate_c1_rows(c1, rowa, rowb, scal, c1o, c1v, active, lanes)
+            if 'E' not in _ab:
+                _rotate_c1_rows(c1, rowa, rowb, scal, c1o, c1v, active, lanes)
 
             # ---- output flush every 128 steps ---------------------------
             @pl.when((i & 127) == 127)
@@ -538,7 +545,7 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True):
             # ---- window maintenance every 4 steps (consumption is at
             # most 32 B/step, so the margins below hold; the gate is a
             # scalar loop-index compare — no vector->scalar sync).
-            @pl.when((i & 3) == 3)
+            @pl.when(((i & 3) == 3) & ('F' not in _ab))
             def _():
                 fh = scal[3]
                 need_dma = (
