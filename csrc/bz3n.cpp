@@ -506,7 +506,13 @@ static void sais_core(const C *Tc, s32 *SA, s32 n, s32 K2) {
     s32 *names = SA + n_lms;  // upper part of SA reused
     memset(names, -1, sizeof(s32) * (n - n_lms));
     s32 name = 0, prev = -1;
+    const s32 NPF = sais_pf_distance() * 2;  // naming-loop prefetch
     for (s32 r = 0; r < n_lms; r++) {
+        if (NPF && r + NPF < n_lms) {
+            s32 pp = SA[r + NPF];
+            __builtin_prefetch(&Tc[pp]);
+            __builtin_prefetch(&names[pp / 2], 1);
+        }
         s32 pos = SA[r];
         bool diff = false;
         if (prev < 0) diff = true;
@@ -534,16 +540,18 @@ static void sais_core(const C *Tc, s32 *SA, s32 n, s32 K2) {
         // Step 3: recurse on the reduced string of LMS names.
         // Build the reduced combined string (values name+1, sentinel 0).
         s32 rn = n_lms + 1;
-        std::vector<s32> red_raw(rn);
-        for (s32 i = 0; i < n_lms; i++) red_raw[i] = names[lms_pos[i] / 2] + 1;
-        red_raw[rn - 1] = 0;
+        // Build the reduced combined string directly (values name+1,
+        // sentinel 0) — no raw-value intermediate array/pass.
         std::vector<u32> redc(rn);
         {
             u8 t = 1;
             redc[rn - 1] = 1;  // (0<<1)|S
+            u32 nxt = 0;
             for (s32 i = rn - 2; i >= 0; i--) {
-                t = (red_raw[i] < red_raw[i + 1] || (red_raw[i] == red_raw[i + 1] && t)) ? 1 : 0;
-                redc[i] = ((u32)red_raw[i] << 1) | t;
+                u32 v = (u32)(names[lms_pos[i] / 2] + 1);
+                t = (v < nxt || (v == nxt && t)) ? 1 : 0;
+                redc[i] = (v << 1) | t;
+                nxt = v;
             }
         }
         std::vector<s32> red_sa(rn);
