@@ -350,6 +350,13 @@ static s32 cm_encode(CmState *s, const u8 *buf, s32 size, u8 *out) {
     return op;
 }
 
+// C1 row prefetch in the decode loops (BZ3N_C1PF, default on; env-gated
+// so the A/B can run inside one process on the variance-prone bench box).
+static int cm_c1pf() {
+    const char *e = getenv("BZ3N_C1PF");  // per block-decode call: negligible
+    return e ? atoi(e) != 0 : 1;
+}
+
 static void cm_decode(CmState *s, const u8 *in, s32 in_len, u8 *out, s32 size) {
     u32 high = 0xFFFFFFFFu, low = 0, code = 0;
     u32 c1 = 0, c2 = 0, run = 0;
@@ -407,6 +414,16 @@ static void cm_decode(CmState *s, const u8 *in, s32 in_len, u8 *out, s32 size) {
         }
         c2 = c1;
         out[i] = (u8)(c1 = (u32)(ctx & 255));
+        // Pull the next byte's C1 rows (C1[c1] just became next rowA/rowW,
+        // C1[c2] next rowB) toward L1 while this byte's stores retire —
+        // the p1/p2 loads sit on the bit chain, so L2 latency there is
+        // paid 8x per byte otherwise.
+        // Post-BWT output is run-heavy: rows stay hot within a run, so
+        // only pull the fresh row when the context byte changed.
+        if (c1 != c2 && cm_c1pf()) {
+            for (int q = 0; q < 512; q += 64)
+                __builtin_prefetch((const char *)s->C1[c1] + q);
+        }
     }
 }
 
@@ -984,6 +1001,7 @@ static s32 decode_block_ws(Workspace &ws, const u8 *in, s32 in_len, s32 orig_siz
 // (otherwise pairing would trade cores for ILP).
 static void cm_decode2(CmState *sA, const u8 *inA, s32 inlA, u8 *outA, s32 szA,
                        CmState *sB, const u8 *inB, s32 inlB, u8 *outB, s32 szB) {
+    const int pf = cm_c1pf();
     u32 hiA = 0xFFFFFFFFu, loA = 0, cdA = 0, c1A = 0, c2A = 0, rnA = 0;
     u32 hiB = 0xFFFFFFFFu, loB = 0, cdB = 0, c1B = 0, c2B = 0, rnB = 0;
     s32 ipA = 0, ipB = 0;
@@ -1030,6 +1048,10 @@ static void cm_decode2(CmState *sA, const u8 *inA, s32 inlA, u8 *outA, s32 szA,
             }                                                                         \
         }                                                                             \
         c2 = c1; out[i] = (u8)(c1 = (u32)(ctx & 255));                                \
+        if (pf && c1 != c2) {                                                         \
+            for (int q = 0; q < 512; q += 64)                                         \
+                __builtin_prefetch((const char *)S->C1[c1] + q);                      \
+        }                                                                             \
     }
         BZ3N_CM_STEP(sA, inA, inlA, outA, szA, hiA, loA, cdA, c1A, c2A, rnA, ipA)
         BZ3N_CM_STEP(sB, inB, inlB, outB, szB, hiB, loB, cdB, c1B, c2B, rnB, ipB)
