@@ -251,12 +251,10 @@ def _rotate_c1_rows(c1, rowa, rowb, scal, c1_old, c1_new, active, lanes):
         def _():
             c1[l, o, :] = rowa[l, :]
             rowa[l, :] = c1[l, n, :]
-
-        @pl.when((a == 1) & (o == n))
-        def _():
-            # same context: the cache IS the row; write-back only (so a
-            # later fetch of this row sees the updates).
-            c1[l, o, :] = rowa[l, :]
+        # o == n needs no write-back: the cache IS the row, nothing else
+        # reads the backing c1 row, and any later fetch of row o can only
+        # happen after a switch away from it — which writes back.  On
+        # run-heavy post-BWT data this skips most byte boundaries' copies.
 
 
 def _win_gather(win, lanes, base):
