@@ -353,8 +353,12 @@ static s32 cm_encode(CmState *s, const u8 *buf, s32 size, u8 *out) {
 // C1 row prefetch in the decode loops (BZ3N_C1PF, default on; env-gated
 // so the A/B can run inside one process on the variance-prone bench box).
 static int cm_c1pf() {
-    const char *e = getenv("BZ3N_C1PF");  // per block-decode call: negligible
-    return e ? atoi(e) != 0 : 1;
+    static int v = -1;  // getenv once: this sits on the per-byte decode path
+    if (v < 0) {
+        const char *e = getenv("BZ3N_C1PF");
+        v = e ? atoi(e) != 0 : 1;
+    }
+    return v;
 }
 
 static void cm_decode(CmState *s, const u8 *in, s32 in_len, u8 *out, s32 size) {
@@ -456,8 +460,18 @@ static s32 sais_pf_distance() {
 }
 
 // One L-pass then one S-pass of induced sorting over combined buckets.
-template <typename C>
-static void sais_induce(const C *Tc, s32 *SA, s32 n, s32 K2, const s32 *cnt, s32 *bkt) {
+// EMIT: fused BWT emission in the S-pass.  When the S-pass visits slot
+// i (right-to-left) the entry there is final — any placement into i
+// happens while the scan is still to its right, because suffix j-1 is
+// S-type only if suffix j-1 < suffix j, so --bkt always lands left of
+// the visit that induces it (and combined value|type buckets keep L
+// slots disjoint from S placements).  The induction already reads
+// Tc[SA[i]-1] at every visit, so bwt[i] = raw(Tc[SA[i]-1]) is free —
+// this removes the separate random-gather BWT pass entirely (the
+// latent idea in libsais' bwt-fused induce, include/libsais.h:3311).
+template <typename C, bool EMIT = false>
+static void sais_induce(const C *Tc, s32 *SA, s32 n, s32 K2, const s32 *cnt, s32 *bkt,
+                        u8 *bwt = nullptr, s32 *prim = nullptr) {
     // Short-distance prefetch of the dependent Tc[SA[i+d]-1] load: in
     // the L-pass entries a few slots ahead are usually already
     // written (either LMS seeds or L-inductions that land forward).
@@ -492,17 +506,40 @@ static void sais_induce(const C *Tc, s32 *SA, s32 n, s32 K2, const s32 *cnt, s32
             s32 j = SA[i];
             if (j > 0) {
                 C c = Tc[j - 1];
+                if (EMIT) bwt[i] = (u8)((c >> 1) - 1);
                 if (c & 1) SA[--bkt[c]] = j - 1;
+            } else if (EMIT && j == 0) {
+                *prim = i;
             }
         }
     }
 }
 
+// Compile-gated stage timing for the SA-IS internals (-DBZ3N_SAIS_TIME;
+// used by the /tmp profiling builds, zero cost otherwise).
+#ifdef BZ3N_SAIS_TIME
+#include <ctime>
+static double sais_now() {
+    struct timespec t; clock_gettime(CLOCK_MONOTONIC, &t);
+    return t.tv_sec + t.tv_nsec * 1e-9;
+}
+static double sais_tm[8][10];  // [depth][phase] seconds
+#define SAIS_T(depth, phase, expr) \
+    { double _t0 = sais_now(); expr; sais_tm[(depth) < 8 ? (depth) : 7][phase] += sais_now() - _t0; }
+#else
+#define SAIS_T(depth, phase, expr) expr
+#endif
+
 // Core on a combined string with unique smallest sentinel (Tc[n-1]
-// raw value 0, type S).  K2 = 2 * (max raw value + 1).
+// raw value 0, type S).  K2 = 2 * (max raw value + 1).  When bwt is
+// non-null the final induce also emits bwt[i] = raw(Tc[SA[i]-1]) and
+// *prim = the slot holding suffix 0 (top-level BWT fusion; the
+// recursion never passes it).
 template <typename C>
-static void sais_core(const C *Tc, s32 *SA, s32 n, s32 K2) {
+static void sais_core(const C *Tc, s32 *SA, s32 n, s32 K2,
+                      u8 *bwt = nullptr, s32 *prim = nullptr, int depth = 0) {
     std::vector<s32> cnt(K2), bkt(K2);
+    SAIS_T(depth, 3, {
     memset(cnt.data(), 0, sizeof(s32) * K2);
     for (s32 i = 0; i < n; i++) cnt[Tc[i]]++;
 
@@ -514,15 +551,21 @@ static void sais_core(const C *Tc, s32 *SA, s32 n, s32 K2) {
         for (s32 i = n - 1; i >= 1; i--)
             if (is_lms_at(Tc, i)) SA[--bkt[Tc[i]]] = i;
     }
-    sais_induce(Tc, SA, n, K2, cnt.data(), bkt.data());
+    });
+    SAIS_T(depth, 0, sais_induce(Tc, SA, n, K2, cnt.data(), bkt.data()));
 
     // Step 2: name sorted LMS substrings.
     s32 n_lms = 0;
+    SAIS_T(depth, 4, {
     for (s32 i = 0; i < n; i++)
         if (SA[i] >= 0 && is_lms_at(Tc, SA[i])) SA[n_lms++] = SA[i];
+    });
     s32 *names = SA + n_lms;  // upper part of SA reused
-    memset(names, -1, sizeof(s32) * (n - n_lms));
+    SAIS_T(depth, 5, memset(names, -1, sizeof(s32) * (n - n_lms)));
     s32 name = 0, prev = -1;
+#ifdef BZ3N_SAIS_TIME
+    double _nt0 = sais_now();
+#endif
     const s32 NPF = sais_pf_distance() * 2;  // naming-loop prefetch
     for (s32 r = 0; r < n_lms; r++) {
         if (NPF && r + NPF < n_lms) {
@@ -545,13 +588,16 @@ static void sais_core(const C *Tc, s32 *SA, s32 n, s32 K2) {
         if (diff) { name++; prev = pos; }
         names[pos / 2] = name - 1;
     }
+#ifdef BZ3N_SAIS_TIME
+    sais_tm[depth < 8 ? depth : 7][1] += sais_now() - _nt0;
+#endif
 
     std::vector<s32> lms_pos(n_lms);
-    {
+    SAIS_T(depth, 6, {
         s32 w = 0;
         for (s32 i = 0; i < n; i++)
             if (is_lms_at(Tc, i)) lms_pos[w++] = i;
-    }
+    });
 
     if (name < n_lms) {
         // Step 3: recurse on the reduced string of LMS names.
@@ -560,7 +606,7 @@ static void sais_core(const C *Tc, s32 *SA, s32 n, s32 K2) {
         // Build the reduced combined string directly (values name+1,
         // sentinel 0) — no raw-value intermediate array/pass.
         std::vector<u32> redc(rn);
-        {
+        SAIS_T(depth, 7, {
             u8 t = 1;
             redc[rn - 1] = 1;  // (0<<1)|S
             u32 nxt = 0;
@@ -570,15 +616,17 @@ static void sais_core(const C *Tc, s32 *SA, s32 n, s32 K2) {
                 redc[i] = (v << 1) | t;
                 nxt = v;
             }
-        }
+        });
         std::vector<s32> red_sa(rn);
-        sais_core(redc.data(), red_sa.data(), rn, 2 * (name + 2));
+        sais_core(redc.data(), red_sa.data(), rn, 2 * (name + 2), nullptr, nullptr,
+                  depth + 1);
         // red_sa[0] is the reduced sentinel; map the rest back.
-        for (s32 i = 1; i < rn; i++) SA[i - 1] = lms_pos[red_sa[i]];
+        SAIS_T(depth, 8, for (s32 i = 1; i < rn; i++) SA[i - 1] = lms_pos[red_sa[i]]);
     }
     // else: SA[0..n_lms) already holds LMS positions in sorted order.
 
     // Step 4: final induced sort from sorted LMS positions.
+    SAIS_T(depth, 9, {
     std::vector<s32> lms_sorted(SA, SA + n_lms);
     memset(SA, -1, sizeof(s32) * n);
     {
@@ -589,7 +637,13 @@ static void sais_core(const C *Tc, s32 *SA, s32 n, s32 K2) {
             SA[--bkt[Tc[i]]] = i;
         }
     }
-    sais_induce(Tc, SA, n, K2, cnt.data(), bkt.data());
+    });
+    if (bwt) {
+        SAIS_T(depth, 2, (sais_induce<C, true>(Tc, SA, n, K2, cnt.data(), bkt.data(),
+                                               bwt, prim)));
+    } else {
+        SAIS_T(depth, 2, sais_induce(Tc, SA, n, K2, cnt.data(), bkt.data()));
+    }
 }
 
 // Suffix array of a byte string (no sentinel in input).
@@ -622,16 +676,33 @@ extern "C" s32 bz3n_bwt_forward(const u8 *in, u8 *out, s32 n, s32 *scratch) {
         if (n == 1) out[0] = in[0];
         return n;
     }
-    s32 *SA = scratch;
-    suffix_array_u8(in, SA, n);
-    s32 p = -1;
-    out[0] = in[n - 1];
-    s32 w = 1;
-    for (s32 r = 0; r < n; r++) {
-        if (SA[r] == 0) { p = r; continue; }
-        out[w++] = in[SA[r] - 1];
+    // Sentinel-augmented combined string, BWT emitted inside the final
+    // induce (no post-hoc SA gather).  Caller's scratch is >= 8n bytes
+    // (Workspace::ensure); SA takes the first n+1 words, the emission
+    // temp the next (n+1)/4+1.
+    s32 m = n + 1;
+    std::vector<u16> Tc(m);
+    {
+        u8 t = 1;
+        Tc[m - 1] = 1;  // sentinel: value 0, S-type
+        for (s32 i = n - 1; i >= 0; i--) {
+            u16 v = (u16)in[i] + 1;
+            u16 nv = (i + 1 < n) ? (u16)in[i + 1] + 1 : 0;
+            t = (v < nv || (v == nv && t)) ? 1 : 0;
+            Tc[i] = (u16)((v << 1) | t);
+        }
     }
-    return p + 1;
+    s32 *SA = scratch;
+    u8 *tmp = (u8 *)(scratch + m);
+    s32 prim = -1;
+    sais_core(Tc.data(), SA, m, 2 * 258, tmp, &prim);
+    // tmp[i] = T[SA_ws[i]-1]; tmp[0] is the sentinel row (= T[n-1]);
+    // the row with suffix 0 (at slot prim) is dropped; index = prim
+    // (libsais_bwt contract, include/libsais.h:4095).
+    out[0] = tmp[0];
+    memcpy(out + 1, tmp + 1, (size_t)(prim - 1));
+    memcpy(out + prim, tmp + prim + 1, (size_t)(m - 1 - prim));
+    return prim;
 }
 
 extern "C" s32 bz3n_bwt_inverse_ex(const u8 *in, u8 *out, s32 n, s32 index, s32 *scratch,
@@ -1204,6 +1275,30 @@ struct Pool {
     pthread_mutex_t mu;
 };
 
+// Pool policy overrides for measurement on shared/noisy boxes:
+// BZ3N_PAIR=1 enables CM pair-interleaving, BZ3N_THREADS=k pins the
+// auto thread count.  Both read once.  Pairing defaults OFF: its
+// original 1.28x/core win was measured against a solo decode path
+// that was paying a per-byte getenv (since fixed); with that gone,
+// the doubled per-core working set (2 CmStates + 2 unBWT node arrays)
+// loses 5-10% end to end on the 4-core bench box.
+static int pool_pair_enabled() {
+    static int v = -1;
+    if (v < 0) {
+        const char *e = getenv("BZ3N_PAIR");
+        v = e ? atoi(e) != 0 : 0;
+    }
+    return v;
+}
+static s32 pool_threads_override() {
+    static s32 v = -2;
+    if (v == -2) {
+        const char *e = getenv("BZ3N_THREADS");
+        v = e ? (s32)atoi(e) : -1;
+    }
+    return v;
+}
+
 static void *worker(void *arg) {
     Pool *p = (Pool *)arg;
     Workspace ws;
@@ -1255,10 +1350,11 @@ extern "C" void bz3n_encode_blocks(const u8 **ins, const s32 *lens, u8 **outs,
         // nothing; staying at the core count lets decode pair jobs)
         long hw = sysconf(_SC_NPROCESSORS_ONLN);
         n_threads = hw > 0 ? (s32)hw : 4;
+        if (pool_threads_override() > 0) n_threads = pool_threads_override();
         if (n_threads > 64) n_threads = 64;
     }
     if (n_threads > n) n_threads = n;
-    pool.pair_decode = n >= 2 * n_threads;
+    pool.pair_decode = pool_pair_enabled() && n >= 2 * n_threads;
     std::vector<pthread_t> th(n_threads);
     for (s32 t = 0; t < n_threads; t++) pthread_create(&th[t], nullptr, worker, &pool);
     for (s32 t = 0; t < n_threads; t++) pthread_join(th[t], nullptr);
@@ -1282,10 +1378,11 @@ extern "C" void bz3n_decode_blocks(const u8 **ins, const s32 *in_lens,
         // nothing; staying at the core count lets decode pair jobs)
         long hw = sysconf(_SC_NPROCESSORS_ONLN);
         n_threads = hw > 0 ? (s32)hw : 4;
+        if (pool_threads_override() > 0) n_threads = pool_threads_override();
         if (n_threads > 64) n_threads = 64;
     }
     if (n_threads > n) n_threads = n;
-    pool.pair_decode = n >= 2 * n_threads;
+    pool.pair_decode = pool_pair_enabled() && n >= 2 * n_threads;
     std::vector<pthread_t> th(n_threads);
     for (s32 t = 0; t < n_threads; t++) pthread_create(&th[t], nullptr, worker, &pool);
     for (s32 t = 0; t < n_threads; t++) pthread_join(th[t], nullptr);
