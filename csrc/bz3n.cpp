@@ -725,12 +725,18 @@ extern "C" s32 bz3n_bwt_inverse_ex(const u8 *in, u8 *out, s32 n, s32 index, s32 
     s32 sum = 0;
     for (s32 c = 0; c < 257; c++) { start[c] = sum; sum += cnt[c]; }
 
-    // Side allocation for the quad-merge walk; thread_local so every
-    // pthread worker amortizes it across blocks (freed at thread exit).
-    static thread_local std::vector<u64> tl_quad;
+    // Side allocations for the pair/quad-merge walk; thread_local so
+    // every pthread worker amortizes them across blocks (freed at
+    // thread exit).  Keeping pair OUT of the caller's scratch matters:
+    // at block_size exactly 2^24 (`-b 16`, the headline config) the
+    // Workspace scratch is sized for the u64 path, but the post-LZP
+    // payload is < 2^24 so this u32 path applies — tying the fast walk
+    // to caller scratch silently dropped it to the 1-byte-per-miss
+    // fallback (a measured 7 vs 20 MB/s per thread).
+    static thread_local std::vector<u64> tl_quad, tl_pair;
     std::vector<u64> *quad_vec = &tl_quad;
 
-    if (n + 1 < (1 << 24) && scratch_words >= 3 * (int64_t)(n + 2) + 2) {
+    if (n + 1 < (1 << 24) && scratch_words >= (int64_t)(n + 2)) {
         u32 *node = (u32 *)scratch;  // n+1 u32 entries
         for (s32 j = 0; j < index; j++) node[j] = ((u32)start[in[j] + 1]++ << 8) | in[j];
         node[index] = (u32)start[0]++ << 8;  // sentinel (symbol unused)
@@ -739,7 +745,8 @@ extern "C" s32 bz3n_bwt_inverse_ex(const u8 *in, u8 *out, s32 n, s32 index, s32 
         // Pair-merge: pre-compose two LF steps per node so the serial
         // walk takes one dependent cache miss per TWO bytes (the build
         // gathers are independent, so they overlap in the MLP window).
-        u64 *pair = (u64 *)(((uintptr_t)(node + n + 2) + 7) & ~(uintptr_t)7);
+        tl_pair.resize((size_t)n + 2);
+        u64 *pair = tl_pair.data();
         for (s32 j = 0; j + 7 <= n; j += 8) {
             for (s32 q = 0; q < 8; q++) {
                 u32 v = node[j + q];
@@ -883,11 +890,10 @@ struct Workspace {
         if (swap1.size() < cap) {
             swap1.resize(cap);
             swap2.resize(cap);
-            // 2x for the u64 packed-node inverse-BWT path on big
-            // blocks; 3x when the pair-merge walk applies (<= 16 MiB
-            // blocks) since it keeps node (u32) + pair (u64) arrays.
-            size_t mult = (block_size + 1 < (1 << 24)) ? 3 : 2;
-            sa.resize(mult * (cap + 16));
+            // 2x covers both inverse-BWT node layouts (u32 nodes need
+            // n+2 words, u64 nodes 2(n+2); the pair/quad merge arrays
+            // live in thread_local side vectors, not here).
+            sa.resize(2 * (cap + 16));
         }
         if (lzp_lut.empty()) lzp_lut.resize((size_t)1 << LZP_BITS);
     }
