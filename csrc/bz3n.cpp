@@ -524,10 +524,10 @@ static double sais_now() {
     return t.tv_sec + t.tv_nsec * 1e-9;
 }
 static double sais_tm[8][10];  // [depth][phase] seconds
-#define SAIS_T(depth, phase, expr) \
-    { double _t0 = sais_now(); expr; sais_tm[(depth) < 8 ? (depth) : 7][phase] += sais_now() - _t0; }
+#define SAIS_T(depth, phase, ...) \
+    { double _t0 = sais_now(); __VA_ARGS__; sais_tm[(depth) < 8 ? (depth) : 7][phase] += sais_now() - _t0; }
 #else
-#define SAIS_T(depth, phase, expr) expr
+#define SAIS_T(depth, phase, ...) __VA_ARGS__
 #endif
 
 // Core on a combined string with unique smallest sentinel (Tc[n-1]
@@ -646,10 +646,259 @@ static void sais_core(const C *Tc, s32 *SA, s32 n, s32 K2,
     }
 }
 
+// ------------------------------------------ level-0 raw-u8 SA-IS core
+// Specialization of sais_core for the top level, where the text is the
+// raw byte string: no combined u16 value|type array is ever built, so
+// every random read in the hot loops touches the 1-byte text (half the
+// cache footprint) and the setup/compaction passes shrink to scans.
+//
+// Key ideas (this file's own design; the reference ships libsais'
+// 5,428-line amalgam instead, include/libsais.h):
+//  - Each SA entry carries its suffix's own type in bit 30, so the
+//    induce derives type(j-1) from two adjacent text bytes plus the
+//    entry: t(j-1)=L iff T[j-1]>T[j], tie broken by the entry's flag.
+//  - The first S-pass marks LMS entries in bit 29 at visit time (an
+//    entry is LMS iff it is S-typed and its predecessor induces L) —
+//    the LMS compaction then reads no text at all.
+//  - LMS boundaries for the naming comparisons come from a 1-bit-per-
+//    position vector built in the single setup scan.
+// Positions use 29 bits (format caps blocks at 511 MiB; callers guard).
+// The augmented string has m = n+1 positions; position n is the unique
+// smallest sentinel.  bwt/prim as in sais_core (fused BWT emission).
+static const u32 SAIS_POS = (1u << 29) - 1;
+static const u32 SAIS_SF = 1u << 30;   // entry's suffix is S-type
+static const u32 SAIS_LF = 1u << 29;   // entry is an LMS suffix
+
+static inline bool sais_lbit(const u64 *lms, s32 p) {
+    return (lms[p >> 6] >> (p & 63)) & 1;
+}
+
+// One L-pass then one S-pass over the raw text.  MARK: set LMS flags
+// during the S-pass (step-1 induce).  EMIT: fused BWT emission plus
+// primary-index capture (final induce of the BWT path).
+template <bool MARK, bool EMIT>
+static void sais_induce_u8(const u8 *T, u32 *SAu, s32 n, const s32 *cnt, s32 *bkt,
+                           u8 *bwt = nullptr, s32 *prim = nullptr) {
+    const s32 m = n + 1;
+    const s32 PF = sais_pf_distance();
+    {
+        s32 sum = 0;
+        for (s32 c = 0; c < 516; c++) { bkt[c] = sum; sum += cnt[c]; }
+        for (s32 i = 0; i < m; i++) {
+            if (PF && i + PF < m) {
+                u32 jp = SAu[i + PF];
+                if ((s32)jp >= 0 && (jp & SAIS_POS))
+                    __builtin_prefetch(&T[(jp & SAIS_POS) - 1]);
+            }
+            u32 e = SAu[i];
+            if ((s32)e < 0) continue;
+            u32 j = e & SAIS_POS;
+            if (!j) continue;
+            u8 c1 = T[j - 1];
+            bool isL;
+            if (j == (u32)n) isL = true;  // T[n-1] > sentinel
+            else {
+                u8 c0 = T[j];
+                isL = c1 > c0 || (c1 == c0 && !(e & SAIS_SF));
+            }
+            if (isL) SAu[bkt[((u32)c1 + 1) << 1]++] = j - 1;
+        }
+    }
+    {
+        s32 sum = 0;
+        for (s32 c = 0; c < 516; c++) { sum += cnt[c]; bkt[c] = sum; }
+        for (s32 i = m - 1; i >= 0; i--) {
+            if (PF && i - PF >= 0) {
+                u32 jp = SAu[i - PF];
+                if ((s32)jp >= 0 && (jp & SAIS_POS))
+                    __builtin_prefetch(&T[(jp & SAIS_POS) - 1]);
+            }
+            u32 e = SAu[i];
+            if ((s32)e < 0) continue;
+            u32 j = e & SAIS_POS;
+            if (!j) {
+                if (EMIT) *prim = i;
+                continue;
+            }
+            u8 c1 = T[j - 1];
+            if (EMIT) bwt[i] = c1;
+            bool isS;
+            if (j == (u32)n) isS = false;  // t(n-1) is always L
+            else {
+                u8 c0 = T[j];
+                isS = c1 < c0 || (c1 == c0 && (e & SAIS_SF));
+            }
+            if (isS) SAu[--bkt[((((u32)c1 + 1) << 1) | 1)]] = (j - 1) | SAIS_SF;
+            else if (MARK && (e & SAIS_SF)) SAu[i] = e | SAIS_LF;
+        }
+    }
+}
+
+// Level-0 core.  SA must hold m = n+1 entries; requires n < 2^29.
+// With bwt non-null, emits bwt[i] = T[SA[i]-1] fused into the final
+// S-pass and sets *prim to the slot of suffix 0.
+static void sais_core_u8(const u8 *T, s32 *SA, s32 n,
+                         u8 *bwt = nullptr, s32 *prim = nullptr) {
+    const s32 m = n + 1;
+    u32 *SAu = (u32 *)SA;
+    s32 cnt[516], bkt[516];
+    memset(cnt, 0, sizeof cnt);
+
+    // Setup: one right-to-left scan computes types on the fly, counts
+    // the combined (value<<1|type) buckets, and records LMS positions
+    // in a bitvector (thread_local; ~n/8 bytes, reused across blocks).
+    static thread_local std::vector<u64> tl_lms;
+    SAIS_T(0, 3, {
+    tl_lms.assign(((size_t)m + 127) / 64, 0);
+    u64 *lms = tl_lms.data();
+    cnt[1] = 1;  // sentinel: value 0, S
+    lms[n >> 6] |= 1ull << (n & 63);  // t(n)=S, t(n-1)=L: n is LMS
+    u8 t = 0;  // type of T[n-1]: L (greater than the sentinel)
+    cnt[((u32)(T[n - 1] + 1) << 1)]++;
+    for (s32 i = n - 2; i >= 0; i--) {
+        u8 c = T[i], d = T[i + 1];
+        u8 ti = (c < d || (c == d && t)) ? 1 : 0;
+        cnt[(((u32)c + 1) << 1) | ti]++;
+        if (!ti && t) lms[(i + 1) >> 6] |= 1ull << ((i + 1) & 63);
+        t = ti;
+    }
+
+    // Step 1: seed LMS suffixes at S-bucket tails (descending), induce.
+    memset(SA, -1, sizeof(s32) * m);
+    {
+        s32 sum = 0;
+        for (s32 c = 0; c < 516; c++) { sum += cnt[c]; bkt[c] = sum; }
+        for (s32 w = (m - 1) >> 6; w >= 0; w--) {
+            u64 bits = lms[w];
+            while (bits) {
+                s32 b = 63 - __builtin_clzll(bits);
+                bits &= ~(1ull << b);
+                s32 i = (w << 6) | b;
+                s32 bi = (i == n) ? 1 : ((((u32)T[i] + 1) << 1) | 1);
+                SAu[--bkt[bi]] = (u32)i | SAIS_SF;
+            }
+        }
+    }
+    });
+    SAIS_T(0, 0, (sais_induce_u8<true, false>(T, SAu, n, cnt, bkt)));
+
+    // Step 2: compact the (approximately sorted) LMS entries — flag
+    // scan only — then name sorted LMS substrings by raw-byte compare
+    // with bitvector boundaries.  Char-equality over the inclusive
+    // extent with matching boundaries implies type equality (types
+    // back-propagate from the shared LMS tail), so no type compare is
+    // needed.
+    s32 n_lms = 0;
+    const u64 *lms = tl_lms.data();
+    SAIS_T(0, 4, {
+    for (s32 i = 0; i < m; i++) {
+        u32 e = SAu[i];
+        if ((s32)e >= 0 && (e & SAIS_LF)) SA[n_lms++] = (s32)(e & SAIS_POS);
+    }
+    });
+    s32 *names = SA + n_lms;
+    SAIS_T(0, 5, memset(names, -1, sizeof(s32) * (m - n_lms)));
+    s32 name = 0, prev = -1;
+#ifdef BZ3N_SAIS_TIME
+    double _nt0 = sais_now();
+#endif
+    const s32 NPF = sais_pf_distance() * 2;
+    for (s32 r = 0; r < n_lms; r++) {
+        if (NPF && r + NPF < n_lms) {
+            s32 pp = SA[r + NPF];
+            __builtin_prefetch(&T[pp]);
+            __builtin_prefetch(&names[pp / 2], 1);
+        }
+        s32 pos = SA[r];
+        bool diff = false;
+        if (prev < 0) diff = true;
+        else {
+            for (s32 d = 0;; d++) {
+                if (pos + d >= n || prev + d >= n) {
+                    // one side reached the sentinel position (both
+                    // cannot: pos != prev), which matches nothing
+                    diff = true;
+                    break;
+                }
+                if (T[pos + d] != T[prev + d]) { diff = true; break; }
+                if (d > 0 && (sais_lbit(lms, pos + d) || sais_lbit(lms, prev + d))) {
+                    diff = !(sais_lbit(lms, pos + d) && sais_lbit(lms, prev + d));
+                    break;
+                }
+            }
+        }
+        if (diff) { name++; prev = pos; }
+        names[pos / 2] = name - 1;
+    }
+#ifdef BZ3N_SAIS_TIME
+    sais_tm[0][1] += sais_now() - _nt0;
+#endif
+
+    // LMS positions in text order: sequential bitvector scan.
+    std::vector<s32> lms_pos(n_lms);
+    SAIS_T(0, 6, {
+        s32 w = 0;
+        for (s32 i = 0; i <= (m - 1) >> 6; i++) {
+            u64 bits = lms[i];
+            while (bits) {
+                s32 b = __builtin_ctzll(bits);
+                bits &= bits - 1;
+                lms_pos[w++] = (i << 6) | b;
+            }
+        }
+    });
+
+    if (name < n_lms) {
+        // Step 3: recurse on the reduced string (combined-u32 core).
+        s32 rn = n_lms + 1;
+        std::vector<u32> redc(rn);
+        SAIS_T(0, 7, {
+            u8 t2 = 1;
+            redc[rn - 1] = 1;
+            u32 nxt = 0;
+            for (s32 i = rn - 2; i >= 0; i--) {
+                u32 v = (u32)(names[lms_pos[i] / 2] + 1);
+                t2 = (v < nxt || (v == nxt && t2)) ? 1 : 0;
+                redc[i] = (v << 1) | t2;
+                nxt = v;
+            }
+        });
+        std::vector<s32> red_sa(rn);
+        sais_core(redc.data(), red_sa.data(), rn, 2 * (name + 2), nullptr, nullptr, 1);
+        SAIS_T(0, 8, for (s32 i = 1; i < rn; i++) SA[i - 1] = lms_pos[red_sa[i]]);
+    }
+
+    // Step 4: final induce from the sorted LMS positions.
+    SAIS_T(0, 9, {
+    std::vector<s32> lms_sorted(SA, SA + n_lms);
+    memset(SA, -1, sizeof(s32) * m);
+    {
+        s32 sum = 0;
+        for (s32 c = 0; c < 516; c++) { sum += cnt[c]; bkt[c] = sum; }
+        for (s32 r = n_lms - 1; r >= 0; r--) {
+            s32 i = lms_sorted[r];
+            s32 bi = (i == n) ? 1 : ((((u32)T[i] + 1) << 1) | 1);
+            SAu[--bkt[bi]] = (u32)i | SAIS_SF;
+        }
+    }
+    });
+    if (bwt) {
+        SAIS_T(0, 2, (sais_induce_u8<false, true>(T, SAu, n, cnt, bkt, bwt, prim)));
+    } else {
+        SAIS_T(0, 2, (sais_induce_u8<false, false>(T, SAu, n, cnt, bkt)));
+    }
+}
+
 // Suffix array of a byte string (no sentinel in input).
 static void suffix_array_u8(const u8 *T, s32 *SA_out, s32 n) {
     if (n <= 0) return;
     s32 m = n + 1;
+    if (n < (s32)SAIS_POS - 1) {
+        std::vector<s32> SA(m);
+        sais_core_u8(T, SA.data(), n);
+        for (s32 i = 1; i < m; i++) SA_out[i - 1] = (s32)((u32)SA[i] & SAIS_POS);
+        return;
+    }
     std::vector<u16> Tc(m);
     {
         u8 t = 1;
@@ -676,26 +925,15 @@ extern "C" s32 bz3n_bwt_forward(const u8 *in, u8 *out, s32 n, s32 *scratch) {
         if (n == 1) out[0] = in[0];
         return n;
     }
-    // Sentinel-augmented combined string, BWT emitted inside the final
-    // induce (no post-hoc SA gather).  Caller's scratch is >= 8n bytes
-    // (Workspace::ensure); SA takes the first n+1 words, the emission
-    // temp the next (n+1)/4+1.
+    // Raw-u8 level-0 SA-IS with the BWT emitted inside the final
+    // induce (no combined array, no post-hoc SA gather).  Caller's
+    // scratch is >= 8n bytes (Workspace::ensure); SA takes the first
+    // n+1 words, the emission temp the next (n+1)/4+1.
     s32 m = n + 1;
-    std::vector<u16> Tc(m);
-    {
-        u8 t = 1;
-        Tc[m - 1] = 1;  // sentinel: value 0, S-type
-        for (s32 i = n - 1; i >= 0; i--) {
-            u16 v = (u16)in[i] + 1;
-            u16 nv = (i + 1 < n) ? (u16)in[i + 1] + 1 : 0;
-            t = (v < nv || (v == nv && t)) ? 1 : 0;
-            Tc[i] = (u16)((v << 1) | t);
-        }
-    }
     s32 *SA = scratch;
     u8 *tmp = (u8 *)(scratch + m);
     s32 prim = -1;
-    sais_core(Tc.data(), SA, m, 2 * 258, tmp, &prim);
+    sais_core_u8(in, SA, n, tmp, &prim);
     // tmp[i] = T[SA_ws[i]-1]; tmp[0] is the sentinel row (= T[n-1]);
     // the row with suffix 0 (at slot prim) is dropped; index = prim
     // (libsais_bwt contract, include/libsais.h:4095).
