@@ -24,11 +24,29 @@ from ..ops import ref as _ref_engine
 MAGIC = b"BZ3v1"
 _U32 = struct.Struct("<I")
 
+# Sentinel: pick the fastest available engine (native pool if the
+# shared library loads, else the serial oracle).
+AUTO = object()
+
+
+def _auto_batch(kind: str):
+    """Best-available batch callable for `kind` in {"encode","decode"},
+    or None when only the oracle is available."""
+    try:
+        from ..engines import get_engine
+
+        eng = get_engine("native")
+    except Exception:
+        return None
+    if kind == "encode":
+        return lambda blocks: eng.encode_blocks(blocks)
+    return lambda pairs, block_size: eng.decode_blocks(pairs, block_size)
+
 
 def compress(
     data: bytes,
     block_size: int = 16 * 1024 * 1024,
-    engine=_ref_engine,
+    engine=AUTO,
     batch_encode=None,
     batch_size: int = 16,
 ) -> bytes:
@@ -36,8 +54,14 @@ def compress(
 
     ``batch_encode(blocks) -> payloads`` routes the per-block work
     through a batch engine (native pthread pool / TPU pipeline, see
-    bzip3_tpu.engines); the default is the serial oracle.
+    bzip3_tpu.engines); the default resolves to the native pool when
+    its shared library is available, else the serial oracle (matching
+    the reference's single-threaded bz3_compress, src/libbz3.c:876).
     """
+    if engine is AUTO:
+        engine = _ref_engine
+        if batch_encode is None:
+            batch_encode = _auto_batch("encode")
     if block_size > len(data):
         block_size = bound(len(data))
     block_size = max(block_size, 65 * KiB)
@@ -72,7 +96,7 @@ def compress(
 
 def decompress(
     data: bytes,
-    engine=_ref_engine,
+    engine=AUTO,
     max_output: int | None = None,
     batch_decode=None,
     batch_size: int = 16,
@@ -80,8 +104,14 @@ def decompress(
     """Decompress a BZ3v1 frame produced by :func:`compress`.
 
     ``batch_decode(pairs, block_size) -> blocks`` routes decoding
-    through a batch engine; pairs are (payload, orig_size).
+    through a batch engine; pairs are (payload, orig_size).  The
+    default resolves to the native pool when available (see
+    :func:`compress`).
     """
+    if engine is AUTO:
+        engine = _ref_engine
+        if batch_decode is None:
+            batch_decode = _auto_batch("decode")
     if len(data) < 13:
         raise Bz3Error(BZ3_ERR_MALFORMED_HEADER)
     if data[:5] != MAGIC:
