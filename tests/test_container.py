@@ -129,3 +129,19 @@ def test_frame_api_batch_engine_parity(text_data):
         batch_size=4,
     )
     assert out == src
+
+
+def test_frame_default_engine_matches_oracle(text_data):
+    """The frame API's AUTO engine default (native pool when available)
+    must produce byte-identical frames to the serial oracle and decode
+    its own output."""
+    from bzip3_tpu.container.frame import compress, decompress
+    from bzip3_tpu.ops import ref as oracle
+
+    src = text_data[:200000]
+    bs = 66560
+    auto_frame = compress(src, block_size=bs)
+    oracle_frame = compress(src, block_size=bs, engine=oracle)
+    assert auto_frame == oracle_frame
+    assert decompress(auto_frame) == src
+    assert decompress(auto_frame, engine=oracle) == src
