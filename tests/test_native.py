@@ -208,3 +208,23 @@ def test_paired_interleaved_encode_parity(native):
     serial = native.encode_blocks(blocks, len(blocks))  # 1 thread/job
     for nt in (1, 2):
         assert native.encode_blocks(blocks, nt) == serial
+
+
+@pytest.mark.slow
+def test_jumbo_block_past_quad_cap_roundtrip(native):
+    """A single block larger than 2^26 bytes exercises the plain u64
+    LF-walk branch of the inverse BWT (the pair/quad side arrays cap at
+    64 MiB blocks) and the raw-u8 SA-IS at >100M positions — the
+    512 MiB-class capability proof (reference ceiling 511 MiB,
+    src/libbz3.c:536).  96 MiB of low-entropy data keeps runtime sane."""
+    rng = np.random.default_rng(7)
+    n = 96 << 20
+    # run-heavy structured bytes: RLE shrinks it a bit, LZP engages,
+    # and the post-filter payload stays comfortably past 2^26
+    raw = rng.integers(32, 64, n, dtype=np.uint8)
+    runs = rng.random(n) < 0.6
+    raw[1:][runs[1:]] = raw[:-1][runs[1:]]
+    src = raw.tobytes()
+    enc = native.encode_blocks([src], 0)[0]
+    dec = native.decode_blocks([(enc, n)], n, 0)[0]
+    assert bytes(dec) == src
