@@ -151,17 +151,20 @@ def bwt_inverse_batch(
 
     ``segments`` parallel chain walkers per row; each walks
     ceil((N+1)/segments) steps of [K, segments]-wide gathers.  The
-    default scales with N (~2K steps per walker) — fixed small segment
-    counts collapse at multi-MiB widths because the serial walk length
-    grows linearly while each step stays latency-bound.
-    Corrupted (length, index) pairs produce garbage bytes, never
-    out-of-bounds access — the block-level CRC rejects them
-    (src/libbz3.c:803).
+    default targets a walker SPAN of 128 chain positions (256 past
+    4 MiB rows, where the sequential entry-point scan starts to
+    dominate): measured on chip, deeper segment counts kept winning
+    well past the old 16K cap because each LF-power squaring is a full
+    [K, m] gather — fewer squarings beats both the longer entry scan
+    and the shorter walk ([16 x 1 MiB]: 5.6 -> 7.4 MB/s, [1 x 16 MiB]:
+    6.2 -> 7.1).  Corrupted (length, index) pairs produce garbage
+    bytes, never out-of-bounds access — the block-level CRC rejects
+    them (src/libbz3.c:803).
     """
     k_dim, n = u.shape
     if segments is None:
-        segments = max(256, min(16384, 1 << max(0, (n >> 11)).bit_length()))
-        segments = min(segments, max(256, n))
+        span = 128 if n <= (1 << 22) else 256
+        segments = min(1 << 17, max(256, -(-(n + 1) // span)))
     m = n + 1  # sentinel slot
     lens = lengths[:, None]
     idxs = indices[:, None]

@@ -530,6 +530,31 @@ static double sais_tm[8][10];  // [depth][phase] seconds
 #define SAIS_T(depth, phase, ...) __VA_ARGS__
 #endif
 
+// Per-(thread, recursion-depth) scratch so the recursion never
+// mallocs: at depth 1 the bucket arrays alone can reach ~24 MB
+// (K2 = 2*(names+2)); fresh std::vector allocation zero-fills them
+// twice per block per thread.  Capacities persist across blocks.
+struct SaisBuf {
+    void *p = nullptr;
+    size_t cap = 0;  // bytes
+    ~SaisBuf() { free(p); }
+    void *ensure(size_t bytes) {
+        if (cap < bytes) {
+            free(p);
+            cap = bytes + bytes / 8;
+            p = malloc(cap);
+        }
+        return p;
+    }
+};
+struct SaisScratch {
+    SaisBuf cnt, bkt, lms_pos, red_sa, lms_sorted, redc;
+};
+static SaisScratch &sais_scratch(int depth) {
+    static thread_local std::vector<SaisScratch> tl(24);
+    return tl[depth < 24 ? depth : 23];
+}
+
 // Core on a combined string with unique smallest sentinel (Tc[n-1]
 // raw value 0, type S).  K2 = 2 * (max raw value + 1).  When bwt is
 // non-null the final induce also emits bwt[i] = raw(Tc[SA[i]-1]) and
@@ -538,9 +563,11 @@ static double sais_tm[8][10];  // [depth][phase] seconds
 template <typename C>
 static void sais_core(const C *Tc, s32 *SA, s32 n, s32 K2,
                       u8 *bwt = nullptr, s32 *prim = nullptr, int depth = 0) {
-    std::vector<s32> cnt(K2), bkt(K2);
+    SaisScratch &sc = sais_scratch(depth);
+    s32 *cnt = (s32 *)sc.cnt.ensure(sizeof(s32) * K2);
+    s32 *bkt = (s32 *)sc.bkt.ensure(sizeof(s32) * K2);
     SAIS_T(depth, 3, {
-    memset(cnt.data(), 0, sizeof(s32) * K2);
+    memset(cnt, 0, sizeof(s32) * K2);
     for (s32 i = 0; i < n; i++) cnt[Tc[i]]++;
 
     // Step 1: place LMS suffixes at combined-bucket ends, induce.
@@ -552,7 +579,7 @@ static void sais_core(const C *Tc, s32 *SA, s32 n, s32 K2,
             if (is_lms_at(Tc, i)) SA[--bkt[Tc[i]]] = i;
     }
     });
-    SAIS_T(depth, 0, sais_induce(Tc, SA, n, K2, cnt.data(), bkt.data()));
+    SAIS_T(depth, 0, sais_induce(Tc, SA, n, K2, cnt, bkt));
 
     // Step 2: name sorted LMS substrings.
     s32 n_lms = 0;
@@ -592,7 +619,7 @@ static void sais_core(const C *Tc, s32 *SA, s32 n, s32 K2,
     sais_tm[depth < 8 ? depth : 7][1] += sais_now() - _nt0;
 #endif
 
-    std::vector<s32> lms_pos(n_lms);
+    s32 *lms_pos = (s32 *)sc.lms_pos.ensure(sizeof(s32) * (n_lms + 1));
     SAIS_T(depth, 6, {
         s32 w = 0;
         for (s32 i = 0; i < n; i++)
@@ -605,7 +632,7 @@ static void sais_core(const C *Tc, s32 *SA, s32 n, s32 K2,
         s32 rn = n_lms + 1;
         // Build the reduced combined string directly (values name+1,
         // sentinel 0) — no raw-value intermediate array/pass.
-        std::vector<u32> redc(rn);
+        u32 *redc = (u32 *)sc.redc.ensure(sizeof(u32) * rn);
         SAIS_T(depth, 7, {
             u8 t = 1;
             redc[rn - 1] = 1;  // (0<<1)|S
@@ -617,8 +644,8 @@ static void sais_core(const C *Tc, s32 *SA, s32 n, s32 K2,
                 nxt = v;
             }
         });
-        std::vector<s32> red_sa(rn);
-        sais_core(redc.data(), red_sa.data(), rn, 2 * (name + 2), nullptr, nullptr,
+        s32 *red_sa = (s32 *)sc.red_sa.ensure(sizeof(s32) * rn);
+        sais_core(redc, red_sa, rn, 2 * (name + 2), nullptr, nullptr,
                   depth + 1);
         // red_sa[0] is the reduced sentinel; map the rest back.
         SAIS_T(depth, 8, for (s32 i = 1; i < rn; i++) SA[i - 1] = lms_pos[red_sa[i]]);
@@ -627,7 +654,8 @@ static void sais_core(const C *Tc, s32 *SA, s32 n, s32 K2,
 
     // Step 4: final induced sort from sorted LMS positions.
     SAIS_T(depth, 9, {
-    std::vector<s32> lms_sorted(SA, SA + n_lms);
+    s32 *lms_sorted = (s32 *)sc.lms_sorted.ensure(sizeof(s32) * (n_lms + 1));
+    memcpy(lms_sorted, SA, sizeof(s32) * n_lms);
     memset(SA, -1, sizeof(s32) * n);
     {
         s32 sum = 0;
@@ -639,10 +667,10 @@ static void sais_core(const C *Tc, s32 *SA, s32 n, s32 K2,
     }
     });
     if (bwt) {
-        SAIS_T(depth, 2, (sais_induce<C, true>(Tc, SA, n, K2, cnt.data(), bkt.data(),
+        SAIS_T(depth, 2, (sais_induce<C, true>(Tc, SA, n, K2, cnt, bkt,
                                                bwt, prim)));
     } else {
-        SAIS_T(depth, 2, sais_induce(Tc, SA, n, K2, cnt.data(), bkt.data()));
+        SAIS_T(depth, 2, sais_induce(Tc, SA, n, K2, cnt, bkt));
     }
 }
 
