@@ -29,11 +29,14 @@ typedef uint32_t u32;
 typedef int32_t s32;
 typedef uint64_t u64;
 #ifndef BZ3N_PF
-// Induced-sort prefetch distance.  Measured on the 4-core bench box
-// (128 MiB, 8 x 16 MiB blocks, paired pool): PF=8 encode 20.7-23.2
-// MiB/s vs PF=0 17.5-20.4; PF=16 was not better than 8 under the
-// parallel pool.  Runtime-overridable via the BZ3N_PF env var.
-#define BZ3N_PF 8
+// Induced-sort prefetch distance.  Re-measured on the 4-core bench box
+// after the raw-u8 level-0 rewrite (128 MiB, 8 x 16 MiB blocks,
+// unpaired pool): single-thread SA-IS PF=8 15.8 MB/s, PF=24 17.1;
+// pool round trip PF=8 14.6 MB/s vs PF∈{16,24,32} 15.1-15.7 — the
+// old "16 loses under the pool" result belonged to the combined-u16
+// level 0 (double the text footprint).  Runtime-overridable via the
+// BZ3N_PF env var.
+#define BZ3N_PF 24
 #endif
 
 // ---------------------------------------------------------------- crc32
