@@ -147,39 +147,53 @@ def _gather_chunk(tbl, idx):
     return jnp.take_along_axis(tbl, idx, axis=1)
 
 
+def _or_tree(parts):
+    """Combine [L, 128] vregs of which at most one is nonzero per
+    element.  A linear `where` scan is a DEPENDENT select chain (~21 ns
+    per level on this backend, PERF_NOTES §0 — the measured cost of the
+    C2 window extraction); the masked parts are mutually independent,
+    so a balanced OR tree gets log2 depth for the same issue count."""
+    parts = list(parts)
+    while len(parts) > 1:
+        nxt = [parts[i] | parts[i + 1] for i in range(0, len(parts) - 1, 2)]
+        if len(parts) % 2:
+            nxt.append(parts[-1])
+        parts = nxt
+    return parts[0]
+
+
 def _gather_wide(tbl, idx):
     """tbl [L, W] (W = k*128), per-lane gather at idx [L, 128].
 
     Chunk selection via the shared idx>>7 / idx&127 decomposition: the
-    in-chunk offset is always idx mod 128, so no clipping is needed and
-    each chunk costs one dynamic_gather + one select."""
+    in-chunk offset is always idx mod 128, so no clipping is needed.
+    Exactly one chunk matches per element (counters are non-negative),
+    so the per-chunk masked gathers OR-combine in a log-depth tree."""
     w = tbl.shape[1]
     off = idx & 127
     if w == 128:
         return _gather_chunk(tbl, off)
     hi = _srl(idx, 7)
-    out = jnp.zeros(idx.shape, tbl.dtype)
-    for k in range(w // 128):
-        v = _gather_chunk(tbl[:, k * 128 : (k + 1) * 128], off)
-        out = jnp.where(hi == k, v, out)
-    return out
+    return _or_tree(
+        jnp.where(hi == k, _gather_chunk(tbl[:, k * 128 : (k + 1) * 128], off), 0)
+        for k in range(w // 128)
+    )
 
 
 def _extract2(tbl, cb):
     """Extract chunks cb and cb+1 (per-lane dynamic) of tbl [L, W].
 
-    Returns (e0, e1) [L, 128] vregs.  One pass of 2 selects per chunk —
-    the consumer then gathers from just these two chunks instead of
-    scanning the whole table per gather (the decode kernel is
-    issue-bound; the C2 chunk scans were its largest op block)."""
+    Returns (e0, e1) [L, 128] vregs.  One masked pass per chunk,
+    OR-tree combined (log depth) — the consumer then gathers from just
+    these two chunks instead of scanning the whole table per gather."""
     w = tbl.shape[1]
-    e0 = jnp.zeros((tbl.shape[0], 128), tbl.dtype)
-    e1 = e0
+    z = jnp.zeros((tbl.shape[0], 128), tbl.dtype)
+    e0p, e1p = [z], [z]
     for k in range(w // 128):
         ch = tbl[:, k * 128 : (k + 1) * 128]
-        e0 = jnp.where(cb == k, ch, e0)
-        e1 = jnp.where(cb == k - 1, ch, e1)
-    return e0, e1
+        e0p.append(jnp.where(cb == k, ch, 0))
+        e1p.append(jnp.where(cb == k - 1, ch, 0))
+    return _or_tree(e0p), _or_tree(e1p)
 
 
 def _win_pair_gather(e0, e1, cb, idx):
@@ -267,11 +281,14 @@ def _win_gather(win, lanes, base):
     for part in range(3):
         idx = base + part * 128 + col  # absolute byte positions
         sel = _srl(idx, 7) & 15  # (slot, sub) combined
-        v = jnp.zeros((lanes, 128), I32)
-        for s in range(16):
-            chunk = win[s >> 3, :, s & 7, :]  # [L, 128] static slice
-            v = jnp.where(sel == s, _gather_chunk(chunk, idx & 127), v)
-        outs.append(v)
+        outs.append(
+            _or_tree(
+                jnp.where(
+                    sel == s, _gather_chunk(win[s >> 3, :, s & 7, :], idx & 127), 0
+                )
+                for s in range(16)
+            )
+        )
     return tuple(outs)
 
 
@@ -279,10 +296,10 @@ def _gather3(w0, w1, w2, rel):
     """Gather from the 384-deep three-vreg carry, rel in [0, 384)."""
     off = rel & 127
     hi = _srl(rel, 7)
-    v = _gather_chunk(w0, off)
-    v = jnp.where(hi == 1, _gather_chunk(w1, off), v)
-    v = jnp.where(hi == 2, _gather_chunk(w2, off), v)
-    return v
+    return (
+        jnp.where(hi == 0, _gather_chunk(w0, off), 0)
+        | jnp.where(hi == 1, _gather_chunk(w1, off), 0)
+    ) | jnp.where(hi == 2, _gather_chunk(w2, off), 0)
 
 
 def _shl8k(x, k):
