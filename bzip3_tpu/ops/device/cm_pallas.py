@@ -14,6 +14,12 @@ Layout (the whole design):
   ctx/...) is a row-constant [L, 128] i32 vreg; per-lane table lookups
   are `take_along_axis` along the 128-lane axis (tpu.dynamic_gather),
   the primitive proven out by the CRC32 kernel (crc32_pallas.py).
+- Tables are PAIR-PACKED: counters are < 2**16, so adjacent slots
+  (2w, 2w+1) share one i32 word.  Every table width halves (C1 rows
+  become one [L, 128] chunk, the C2 windows/blends scan half the
+  chunks), and the decode candidates (contexts 2c/2c+1) share one
+  C0/C1 gather — the kernel is issue-bound at 8 lanes, so the op cut
+  is what buys lane scaling.
 - Bit position t bounds the context: ctx ∈ [2^t, 2^(t+1)).  C0 and C2
   are therefore SPLIT PER BIT into separate refs: C0_t holds the 2^t
   counters bit t can touch (single-gather lookups), C2_t holds rows
@@ -21,9 +27,9 @@ Layout (the whole design):
   Splitting also removes false serialization between bits: bit t+1
   never reads a ref bit t wrote.
 - C1 rows are cached per byte (rowA = C1[c1], rowB = C1[c2]): the
-  byte-serial part fetches two 256-entry rows per lane per byte via
-  scalar-bridged dynamic slices; within the byte all C1 traffic hits
-  the cached rows.
+  byte-serial part fetches two packed 128-word rows per lane per byte
+  via scalar-bridged dynamic slices; within the byte all C1 traffic
+  hits the cached rows.
 - ALL counter updates are deferred to the end of the byte, off the
   bit-serial critical path.  This is exact: within one byte the coder
   reads each C0/C1 slot only at its own tree node (before updating
@@ -204,6 +210,44 @@ def _win_pair_gather(e0, e1, cb, idx):
     )
 
 
+# ---- packed-pair table layout ---------------------------------------
+# Every counter is in [0, 65535], so adjacent table slots (2w, 2w+1)
+# pack into one i32 word (low half = even slot).  This halves every
+# table's width — C1 rows become a single [L, 128] chunk, the C2
+# windows/blends scan half the chunks — and in the decode kernel the
+# two speculative candidates (contexts 2c and 2c+1) share ONE gather
+# for C0/C1 because they always land in the same packed word.  The
+# kernel is issue-bound at 8 lanes (measured: L=16 doubles per-step
+# time), so the op-count cut is what buys lane scaling.
+
+_PAIR_INIT = np.int32(-2147450880)  # (1<<15) | (1<<15)<<16 packed
+_HI_MASK = np.int32(-65536)  # 0xFFFF0000
+
+
+def _half(w, parity):
+    """Extract the 16-bit half of packed word w selected by parity&1."""
+    return jnp.where((parity & 1) == 0, w & 0xFFFF, _srl(w, 16))
+
+
+def _set_half(w, parity, v):
+    """Replace the (parity&1)-half of packed word w with v < 2**16."""
+    return jnp.where((parity & 1) == 0, (w & _HI_MASK) | v, (w & 0xFFFF) | (v << 16))
+
+
+def _c2_pair_updates(sse, v1, v2, wa, wb):
+    """Packed-word updates for C2 slots (sse, sse+1) <- (v1, v2).
+
+    wa/wb are the packed words holding sse and sse+1 as gathered this
+    bit (their untouched halves are current: the only slots this bit
+    writes are sse and sse+1).  Returns (new_wa, new_wb) for word
+    indices sse>>1 and (sse+1)>>1; when sse is even both indices
+    coincide and both values equal the fully-new word."""
+    even = (sse & 1) == 0
+    new_wa = jnp.where(even, v1 | (v2 << 16), (wa & 0xFFFF) | (v1 << 16))
+    new_wb = jnp.where(even, new_wa, (wb & _HI_MASK) | v2)
+    return new_wa, new_wb
+
+
 def _blend_wide(value, updates):
     """Apply per-lane single-slot updates to a [L, W] VALUE (pure).
 
@@ -222,11 +266,16 @@ def _blend_wide(value, updates):
 
 
 def _c2_init(shape):
-    """C2 init pattern: slot (r*17 + k) = (k << 12) - (k == 16),
-    synthesized in-kernel (iota + magic /17, exact for idx < 2**20)."""
-    idx = jax.lax.broadcasted_iota(I32, shape, 1)
-    k = idx - 17 * ((idx * 61681) >> 20)
-    return (k << 12) - (k == 16).astype(I32)
+    """Packed C2 init: word w holds slots (2w, 2w+1) with slot
+    (r*17 + k) = (k << 12) - (k == 16), synthesized in-kernel
+    (iota + magic /17, exact for idx < 2**20)."""
+    wi = jax.lax.broadcasted_iota(I32, shape, 1)
+
+    def slot_val(idx):
+        k = idx - 17 * ((idx * 61681) >> 20)
+        return (k << 12) - (k == 16).astype(I32)
+
+    return slot_val(2 * wi) | (slot_val(2 * wi + 1) << 16)
 
 
 def _upd(bit, p0, p1, x1, x2):
@@ -240,11 +289,11 @@ def _upd(bit, p0, p1, x1, x2):
 
 def _init_tables(c0, c1, c2, rowa, rowb):
     for t in range(8):
-        c0[t][...] = jnp.full(c0[t].shape, 1 << 15, I32)
+        c0[t][...] = jnp.full(c0[t].shape, _PAIR_INIT, I32)
         c2[t][...] = _c2_init(c2[t].shape)
-    c1[...] = jnp.full(c1.shape, 1 << 15, I32)
-    rowa[...] = jnp.full(rowa.shape, 1 << 15, I32)
-    rowb[...] = jnp.full(rowb.shape, 1 << 15, I32)
+    c1[...] = jnp.full(c1.shape, _PAIR_INIT, I32)
+    rowa[...] = jnp.full(rowa.shape, _PAIR_INIT, I32)
+    rowb[...] = jnp.full(rowb.shape, _PAIR_INIT, I32)
 
 
 def _rotate_c1_rows(c1, rowa, rowb, scal, c1_old, c1_new, active, lanes):
@@ -348,9 +397,9 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True):
         hbm_in,  # ANY  [2, L, in_chunks/2... ] see call: [2, lanes, ...]
         hbm_out,  # ANY  [L, n_steps] i32 (decoded bytes out)
         # scratch:
-        c1,  # VMEM [L, 256, 256] i32
-        rowa,  # VMEM [L, 256]
-        rowb,  # VMEM [L, 256]
+        c1,  # VMEM [L, 256, 128] i32 (pair-packed rows)
+        rowa,  # VMEM [L, 128] pair-packed C1[c1] row
+        rowb,  # VMEM [L, 128] pair-packed C1[c2] row
         win,  # VMEM [2, L, 8, 128] input staging (slot-leading)
         ob,  # VMEM [2, L, 128] output staging
         scal,  # VMEM [4, L, 128] scalar bridge (+row 3 = staged-high)
@@ -426,37 +475,76 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True):
             c2vs = [c2[t][...] for t in range(8)]
             col128 = jax.lax.broadcasted_iota(I32, (lanes, 128), 1)
 
-            def fe(ctxv, t, c2win=None):
-                """Front-end for one candidate context at bit t.
+            def fe_c2(t, p0, sse, c2win):
+                """C2/SSE lookup tail shared by fe_single/fe_pair.
 
-                ``c2win``: pre-extracted (e0, e1, cb) 2-chunk C2 window
-                covering every index this candidate can touch (see the
-                extraction site for the bound proof)."""
+                Packed layout: sse and sse+1 live in words sse>>1 and
+                (sse+1)>>1 (equal when sse is even) — two word gathers
+                yield both counters plus the words needed to build the
+                update values without re-reading the table."""
+                if 'A' in _ab:
+                    return p0, p0, p0, p0
+                wai = _srl(sse, 1)
+                wbi = _srl(sse + 1, 1)
+                if c2win is not None:
+                    e0, e1, cb = c2win
+                    wa = _win_pair_gather(e0, e1, cb, wai)
+                    wb = _win_pair_gather(e0, e1, cb, wbi)
+                else:
+                    wa = _gather_wide(c2vs[t], wai)
+                    wb = _gather_wide(c2vs[t], wbi)
+                return _half(wa, sse), _half(wb, sse + 1), wa, wb
+
+            def fe_pair(pctx, t, c2win=None):
+                """Front-ends for BOTH candidate contexts (2p, 2p+1) at
+                bit t >= 1.  The candidates share their C0/C1 packed
+                words (adjacent slots), so one gather per table serves
+                both.  Returns (shared, cand0, cand1); shared holds the
+                packed words + word indices the update site needs."""
+                p0wi = pctx - (1 << (t - 1))  # = rel(cand0) >> 1
+                p0w = _gather_chunk(c0vs[t], p0wi)
+                p1w = _gather_chunk(rowa_v, pctx)
+                p2w = _gather_chunk(rowb_v, pctx)
+                cands = []
+                for par in (0, 1):
+                    ctxv = pctx + pctx + par
+                    rel = ctxv - (1 << t)
+                    p0 = (p0w & 0xFFFF) if par == 0 else _srl(p0w, 16)
+                    p1 = (p1w & 0xFFFF) if par == 0 else _srl(p1w, 16)
+                    p2 = (p2w & 0xFFFF) if par == 0 else _srl(p2w, 16)
+                    p = ((p0 + p1) * 7 + p2 + p2) >> 4
+                    j = p >> 12
+                    sse = (2 * rel + f) * 17 + j
+                    x1, x2, wa, wb = fe_c2(t, p0, sse, c2win)
+                    ssep = x1 + (((x2 - x1) * (p & 4095)) >> 12)
+                    cands.append((ssep * 3 + p, p0, p1, x1, x2, rel, sse, wa, wb))
+                return (p0w, p0wi, p1w, pctx), cands[0], cands[1]
+
+            def fe_single(ctxv, t):
+                """Front-end for one known context (bit 0: ctx == 1)."""
                 rel = ctxv - (1 << t)
-                p0 = _gather_chunk(c0vs[t], rel)
-                p1 = _gather_wide(rowa_v, ctxv)
-                p2 = _gather_wide(rowb_v, ctxv)
+                p0wi = _srl(rel, 1)
+                p0w = _gather_chunk(c0vs[t], p0wi)
+                p0 = _half(p0w, rel)
+                p1wi = _srl(ctxv, 1)
+                p1w = _gather_chunk(rowa_v, p1wi)
+                p1 = _half(p1w, ctxv)
+                p2w = _gather_chunk(rowb_v, p1wi)
+                p2 = _half(p2w, ctxv)
                 p = ((p0 + p1) * 7 + p2 + p2) >> 4
                 j = p >> 12
-                sse_rel = (2 * rel + f) * 17 + j
-                if 'A' in _ab:
-                    x1 = p0
-                    x2 = p0
-                elif c2win is not None:
-                    e0, e1, cb = c2win
-                    x1 = _win_pair_gather(e0, e1, cb, sse_rel)
-                    x2 = _win_pair_gather(e0, e1, cb, sse_rel + 1)
-                else:
-                    x1 = _gather_wide(c2vs[t], sse_rel)
-                    x2 = _gather_wide(c2vs[t], sse_rel + 1)
+                sse = (2 * rel + f) * 17 + j
+                x1, x2, wa, wb = fe_c2(t, p0, sse, None)
                 ssep = x1 + (((x2 - x1) * (p & 4095)) >> 12)
-                return (ssep * 3 + p, p0, p1, x1, x2, rel, sse_rel, ctxv)
+                return (p0w, p0wi, p1w, p1wi), (
+                    ssep * 3 + p, p0, p1, x1, x2, rel, sse, wa, wb,
+                )
 
             def fe_sel(bit, f0, f1):
                 return tuple(jnp.where(bit, b, a) for a, b in zip(f0, f1))
 
             ctx = jnp.ones((lanes, 128), I32)
-            fe_cur = fe(ctx, 0)
+            sh_cur, fe_cur = fe_single(ctx, 0)
             rowa_ups = []
             # bit 0's range split computed directly; with spec_mul,
             # later bits get a SPECULATED multiply: the post-renorm
@@ -470,20 +558,20 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True):
             for t in range(8):
                 if t < 7:
                     # Both candidates' C2 indices lie in one 52-entry
-                    # window: sse_rel = (4*rel_t + 2*bitc + f)*17 + j
-                    # with bitc in {0,1}, j in [0,16] (+1 for x2), so
+                    # window: sse = (4*rel_t + 2*bitc + f)*17 + j with
+                    # bitc in {0,1}, j in [0,16] (+1 for x2), so
                     # idx - base in [0, 51] for base = (4*rel_t+f)*17
-                    # — extract chunks base>>7 and base>>7 + 1 once,
-                    # then all four gathers hit the window.
-                    if c2vs[t + 1].shape[1] > 384:
-                        c2base = (4 * (ctx - (1 << t)) + f) * 17
+                    # — packed, words [base>>1, base>>1 + 26]: extract
+                    # chunks wb>>7 and wb>>7 + 1 once, then all four
+                    # word gathers hit the window.
+                    if c2vs[t + 1].shape[1] > 256:
+                        c2base = _srl((4 * (ctx - (1 << t)) + f) * 17, 1)
                         c2cb = _srl(c2base, 7)
                         c2win = (*_extract2(c2vs[t + 1], c2cb), c2cb)
                     else:
                         c2win = None
-                    cand0 = fe(ctx + ctx, t + 1, c2win)
-                    cand1 = fe(ctx + ctx + 1, t + 1, c2win)
-                s3p, p0, p1, x1, x2, rel, sse_rel, _ = fe_cur
+                    sh_nxt, cand0, cand1 = fe_pair(ctx, t + 1, c2win)
+                s3p, p0, p1, x1, x2, rel, sse_rel, wa, wb = fe_cur
                 if not spec_mul:
                     step = _mul_shift18_i32(high - low, s3p)
                 mid = low + step
@@ -513,14 +601,23 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True):
                     pref = prefetch4(w0, w1, w2, base, ip)
                 # bit-private table updates, off the critical path
                 u0, u1, v1, v2 = _upd(bit, p0, p1, x1, x2)
-                c0[t][...] = jnp.where(active & (col128 == rel), u0, c0vs[t])
+                p0w, p0wi, p1w, p1wi = sh_cur
+                c0[t][...] = jnp.where(
+                    active & (col128 == p0wi), _set_half(p0w, rel, u0), c0vs[t]
+                )
                 if 'B' not in _ab:
+                    new_wa, new_wb = _c2_pair_updates(sse_rel, v1, v2, wa, wb)
                     c2[t][...] = _blend_wide(
-                        c2vs[t], [(sse_rel, v1, active), (sse_rel + 1, v2, active)]
+                        c2vs[t],
+                        [
+                            (_srl(sse_rel, 1), new_wa, active),
+                            (_srl(sse_rel + 1, 1), new_wb, active),
+                        ],
                     )
-                rowa_ups.append((ctx, u1, active))
+                rowa_ups.append((p1wi, _set_half(p1w, ctx, u1), active))
                 ctx = ctx + ctx + bit.astype(I32)
                 if t < 7:
+                    sh_cur = sh_nxt
                     fe_cur = fe_sel(bit, cand0, cand1)
 
             rowa[...] = _blend_wide(rowa_v, rowa_ups)
@@ -634,8 +731,9 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True):
 
 
 def _c2_shapes(lanes):
+    # packed: 34 * 2**t slots -> 17 * 2**t words
     return [
-        pltpu.VMEM((lanes, -(-(34 << t) // 128) * 128), I32) for t in range(8)
+        pltpu.VMEM((lanes, -(-(17 << t) // 128) * 128), I32) for t in range(8)
     ]
 
 
@@ -657,9 +755,9 @@ def _decode_call(payload, plens, olens, lanes, n_steps, in_chunks, interpret, sp
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((lanes, 256, 256), I32),
-            pltpu.VMEM((lanes, 256), I32),
-            pltpu.VMEM((lanes, 256), I32),
+            pltpu.VMEM((lanes, 256, 128), I32),
+            pltpu.VMEM((lanes, 128), I32),
+            pltpu.VMEM((lanes, 128), I32),
             pltpu.VMEM((2, lanes, 8, 128), I32),
             pltpu.VMEM((2, lanes, 128), I32),
             pltpu.VMEM((4, lanes, 128), I32),
@@ -677,12 +775,27 @@ def _decode_call(payload, plens, olens, lanes, n_steps, in_chunks, interpret, sp
     return out
 
 
+def _pick_lanes(k_dim: int, lanes: int | None) -> int:
+    """Default lane count: smallest power of two >= k_dim, clamped to
+    [8, BZ3_TPU_CM_LANES (default 16)].  Measured on chip (packed
+    kernel, 64 KiB/lane): decode 3.26/4.86/5.11 MB/s and encode
+    4.86/5.93/6.94 at L=8/16/32 — L=16 is the decode knee, and small
+    batches shouldn't pay the wider kernel's 1.34x per-step cost."""
+    if lanes is not None:
+        return lanes
+    cap = max(8, int(os.environ.get("BZ3_TPU_CM_LANES", "16")))
+    l = 8
+    while l < min(cap, k_dim):
+        l *= 2
+    return l
+
+
 def cm_decode_pallas_batch(
     data: jax.Array,
     in_lens: jax.Array,
     out_lens: jax.Array,
     out_width: int,
-    lanes: int = 8,
+    lanes: int | None = None,
     interpret: bool | None = None,
     spec: bool | None = None,
 ):
@@ -693,6 +806,7 @@ def cm_decode_pallas_batch(
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    lanes = _pick_lanes(data.shape[0], lanes)
     if spec is None:
         spec = os.environ.get("BZ3_TPU_SPEC_MUL", "1") == "1"
     k_dim, m = data.shape
@@ -827,25 +941,37 @@ def _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=True):
             for t in range(8):
                 ctxv = ctxs[t]
                 rel = ctxv - (1 << t)
-                p0 = _gather_chunk(c0vs[t], rel)
-                p1 = _gather_wide(rowa_v, ctxv)
-                p2 = _gather_wide(rowb_v, ctxv)
+                p0wi = _srl(rel, 1)
+                p0w = _gather_chunk(c0vs[t], p0wi)
+                p0 = _half(p0w, rel)
+                p1wi = _srl(ctxv, 1)
+                p1w = _gather_chunk(rowa_v, p1wi)
+                p1 = _half(p1w, ctxv)
+                p2w = _gather_chunk(rowb_v, p1wi)
+                p2 = _half(p2w, ctxv)
                 p = ((p0 + p1) * 7 + p2 + p2) >> 4
                 j = p >> 12
                 sse_rel = (2 * rel + f) * 17 + j
-                if c2vs[t].shape[1] > 384:
+                wai = _srl(sse_rel, 1)
+                wbi = _srl(sse_rel + 1, 1)
+                if c2vs[t].shape[1] > 256:
                     # Single known context: idx - base = j in [0, 17]
-                    # for base = (2*rel+f)*17 — a 2-chunk window.
-                    c2base = (2 * rel + f) * 17
-                    c2cb = _srl(c2base, 7)
+                    # for base = (2*rel+f)*17 — packed words span <= 10,
+                    # a 2-chunk window.
+                    c2cb = _srl(_srl((2 * rel + f) * 17, 1), 7)
                     we0, we1 = _extract2(c2vs[t], c2cb)
-                    x1 = _win_pair_gather(we0, we1, c2cb, sse_rel)
-                    x2 = _win_pair_gather(we0, we1, c2cb, sse_rel + 1)
+                    wa = _win_pair_gather(we0, we1, c2cb, wai)
+                    wb = _win_pair_gather(we0, we1, c2cb, wbi)
                 else:
-                    x1 = _gather_wide(c2vs[t], sse_rel)
-                    x2 = _gather_wide(c2vs[t], sse_rel + 1)
+                    wa = _gather_wide(c2vs[t], wai)
+                    wb = _gather_wide(c2vs[t], wbi)
+                x1 = _half(wa, sse_rel)
+                x2 = _half(wb, sse_rel + 1)
                 ssep = x1 + (((x2 - x1) * (p & 4095)) >> 12)
-                fes.append((ssep * 3 + p, p0, p1, x1, x2, rel, sse_rel))
+                fes.append(
+                    (ssep * 3 + p, p0, p1, x1, x2, rel, sse_rel, wa, wb,
+                     p0w, p0wi, p1w, p1wi)
+                )
 
             rowa_ups = []
             # same speculated-multiply trick as decode; on the encode
@@ -854,7 +980,8 @@ def _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=True):
             if spec_mul:
                 step = _mul_shift18_i32(high - low, fes[0][0])
             for t in range(8):
-                s3p, p0, p1, x1, x2, rel, sse_rel = fes[t]
+                (s3p, p0, p1, x1, x2, rel, sse_rel, wa, wb,
+                 p0w, p0wi, p1w, p1wi) = fes[t]
                 bit = bits[t]
                 if not spec_mul:
                     step = _mul_shift18_i32(high - low, s3p)
@@ -885,11 +1012,18 @@ def _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=True):
                 low = _shl8k(low, k)
                 high = _shl8k(high, k) | _mask8k(k)
                 u0, u1, v1, v2 = _upd(bit, p0, p1, x1, x2)
-                c0[t][...] = jnp.where(active & (col128 == rel), u0, c0vs[t])
-                c2[t][...] = _blend_wide(
-                    c2vs[t], [(sse_rel, v1, active), (sse_rel + 1, v2, active)]
+                c0[t][...] = jnp.where(
+                    active & (col128 == p0wi), _set_half(p0w, rel, u0), c0vs[t]
                 )
-                rowa_ups.append((ctxs[t], u1, active))
+                new_wa, new_wb = _c2_pair_updates(sse_rel, v1, v2, wa, wb)
+                c2[t][...] = _blend_wide(
+                    c2vs[t],
+                    [
+                        (_srl(sse_rel, 1), new_wa, active),
+                        (_srl(sse_rel + 1, 1), new_wb, active),
+                    ],
+                )
+                rowa_ups.append((p1wi, _set_half(p1w, ctxs[t], u1), active))
 
             rowa[...] = _blend_wide(rowa_v, rowa_ups)
 
@@ -989,9 +1123,9 @@ def _encode_call(data, ilens, lanes, n_steps, out_chunks, interpret, spec=False)
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((lanes, 256, 256), I32),
-            pltpu.VMEM((lanes, 256), I32),
-            pltpu.VMEM((lanes, 256), I32),
+            pltpu.VMEM((lanes, 256, 128), I32),
+            pltpu.VMEM((lanes, 128), I32),
+            pltpu.VMEM((lanes, 128), I32),
             pltpu.VMEM((2, lanes, 128), I32),
             pltpu.VMEM((2, lanes, 8, 128), I32),
             pltpu.VMEM((3, lanes, 128), I32),
@@ -1012,7 +1146,7 @@ def cm_encode_pallas_batch(
     data: jax.Array,
     lengths: jax.Array,
     out_width: int | None = None,
-    lanes: int = 8,
+    lanes: int | None = None,
     interpret: bool | None = None,
     spec: bool | None = None,
 ):
@@ -1023,6 +1157,7 @@ def cm_encode_pallas_batch(
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    lanes = _pick_lanes(data.shape[0], lanes)
     if spec is None:
         spec = os.environ.get("BZ3_TPU_SPEC_MUL", "1") == "1"
     k_dim, n = data.shape

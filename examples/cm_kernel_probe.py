@@ -44,12 +44,19 @@ def main():
     from bzip3_tpu.ops.ref.cm import cm_encode
     from bzip3_tpu.ops.device.cm_pallas import cm_decode_pallas_batch
 
+    # make_corpus can come up a few bytes short of the request; pad so
+    # every lane really holds n bytes (the timing assumes equal lanes).
     corpus = make_corpus(lanes * n, seed=7)
+    corpus = corpus + bytes((lanes * n) - len(corpus))
     blocks = []
     for i in range(lanes):
         u, _ = bwt_forward(corpus[i * n : (i + 1) * n])
         blocks.append(u)
     enc = [cm_encode(b) for b in blocks]
+
+    if os.environ.get("PROBE_MODE", "decode") == "encode":
+        _encode_probe(jax, jnp, blocks, enc, lanes, n, n_kib, reps)
+        return
 
     m = max(len(e) for e in enc)
     pdata = np.zeros((lanes, m), np.uint8)
@@ -86,6 +93,56 @@ def main():
     best = min(times)
     print(json.dumps({
         "ablate": ablate,
+        "lanes": lanes,
+        "n_per_lane_kib": n_kib,
+        "compile_s": round(compile_s, 1),
+        "best_s": round(best, 4),
+        "per_step_us": round(best / n * 1e6, 3),
+        "MBps": round(lanes * n / best / 1e6, 3),
+        "spec_mul": os.environ.get("BZ3_TPU_SPEC_MUL", "1"),
+    }))
+
+
+def _encode_probe(jax, jnp, blocks, enc, lanes, n, n_kib, reps):
+    """Time the Pallas ENCODE kernel on chip (PROBE_MODE=encode)."""
+    import time as _t
+
+    from bzip3_tpu.ops.device.cm_pallas import cm_encode_pallas_batch
+
+    data = np.zeros((lanes, n), np.uint8)
+    ilens = np.zeros((lanes,), np.int32)
+    for i, b in enumerate(blocks):
+        data[i, : len(b)] = np.frombuffer(b, np.uint8)
+        ilens[i] = len(b)
+
+    dev = jax.devices()[0]
+    data_j = jax.device_put(jnp.asarray(data), dev)
+    ilens_j = jax.device_put(jnp.asarray(ilens), dev)
+
+    t0 = _t.time()
+    pay, plens = cm_encode_pallas_batch(data_j, ilens_j, lanes=lanes,
+                                        interpret=False)
+    _ = int(jnp.sum(plens.astype(jnp.int32)))
+    compile_s = _t.time() - t0
+
+    if not os.environ.get("BZ3_TPU_ABLATE", ""):
+        got, gl = np.asarray(pay), np.asarray(plens)
+        for i, e in enumerate(enc):
+            assert gl[i] == len(e) and got[i, : gl[i]].tobytes() == e, (
+                f"lane {i} mismatch"
+            )
+
+    times = []
+    for _ in range(reps):
+        t0 = _t.time()
+        pay, plens = cm_encode_pallas_batch(data_j, ilens_j, lanes=lanes,
+                                            interpret=False)
+        _ = int(jnp.sum(plens.astype(jnp.int32)))
+        times.append(_t.time() - t0)
+    best = min(times)
+    print(json.dumps({
+        "mode": "encode",
+        "ablate": os.environ.get("BZ3_TPU_ABLATE", ""),
         "lanes": lanes,
         "n_per_lane_kib": n_kib,
         "compile_s": round(compile_s, 1),
