@@ -4,18 +4,16 @@ The 3-phase decomposition proven bit-exact in ops/ref/cm_parallel.py,
 as fixed-shape array programs (no mutable table state anywhere):
 
   A. per-slot counter chains for C0 and C1: sort the per-bit events by
-     (slot, time) with `lax.sort`, then evaluate the chains.  Default
-     (exact) mode: one segmented scan over the sorted stream with a
-     [K]-lane carry, resetting at slot-group starts — always exact,
-     sequential in E but vector-wide across blocks and free of table
-     mutation (the thing this backend punishes).  Optional speculative
-     mode cuts the stream into fixed windows evaluated in lockstep
-     from bracketed candidate states (the reachable set from init I is
-     [f0^inf(I), f1^inf(I)] by monotonicity); candidate agreement
-     certifies exactness, the ok flag reports residual ambiguity
-     (slow-rate chains on strongly structured data can sustain a
-     1-2 ulp candidate gap indefinitely — measured ~2% of C2 events
-     on BWT output, which is why exact mode is the default).
+     (slot, time) with `lax.sort`, then evaluate the chains.  The
+     default (windowed, speculative=True) mode cuts the sorted stream
+     into fixed windows evaluated in lockstep and recovers EXACT
+     window-entry states by bracket relaxation + sampled entry->exit
+     map composition (an associative scan over windows) — an ~E/seg
+     sequential-depth cut that is exact by construction, certified by
+     the 2^rate bracket-stall bound (see _chain_values_sorted).  The
+     speculative=False mode is the plain full-stream segmented scan
+     with a [K]-lane carry — sequential in E, kept as the simple
+     reference form and the ok-flag fallback.
   B. p -> j -> C2 slots, same chain machinery (x1/x2 are adjacent
      slots of one event stream).
   C. the range coder: a scan over byte steps with a [K]-lane carry and
@@ -38,7 +36,6 @@ from .cm import _mul_shift18
 U32 = jnp.uint32
 TOP = np.uint32(1 << 24)
 
-WARMUP = {2: 128, 4: 448, 6: 1664}  # measured worst cases + margin
 SENT = jnp.int32(1 << 20)  # slot key for inactive (padding) events
 
 
@@ -68,13 +65,52 @@ def _chain_values_exact(slots, bits, advance, init_vals, rate: int):
     return vals.T, jnp.ones((k_dim,), bool)
 
 
-def _chain_values_sorted(slots, bits, advance, init_vals, rate: int, seg: int):
-    """Pre-event chain values over a (slot, time)-sorted event stream.
+def _chain_values_sorted(
+    slots, bits, advance, init_vals, rate: int, seg: int,
+    max_relax_rounds: int = 8,
+):
+    """Pre-event chain values over a (slot, time)-sorted event stream,
+    EXACT via bracketed windows + sampled-map composition.
 
     All [K, E] int32/bool.  Returns (vals [K, E] i32, ok [K] bool).
+
+    The stream is cut into S = ceil(E/seg) windows evaluated in
+    LOCKSTEP (scans of seg steps — a ~E/seg sequential depth cut vs
+    the exact full-stream scan).  A window's entry state (the mid-
+    chain counter of the slot straddling the boundary) is unknown;
+    exactness is recovered in four moves:
+
+    1. BRACKET: evaluate every window from the full counter domain
+       [0, 65535] — trivially sound.  Counter steps are monotone and
+       non-expansive, so a window maps an entry bracket to an exit
+       bracket still containing the truth, and group starts inside a
+       window reset both candidates to the exact init.
+    2. RELAX: re-evaluate with window w's entry bracket <- window
+       w-1's exit bracket, until certification passes or
+       ``max_relax_rounds`` is hit (a while_loop: production segs
+       contract 65535 -> stall in 1-2 rounds, tiny test segs take a
+       few more).  Brackets shrink monotonically but STALL: s ±
+       (s>>rate) steps cannot close a gap below 2^rate when the
+       floors align (measured stall maxima are exactly 2^rate - 1),
+       which is why candidate agreement alone could never certify
+       (the old scheme's ~2% failures on real post-BWT chains).
+    3. CERTIFY gap < 2^rate: ok requires every window's relaxed entry
+       bracket [a, b] to satisfy b - a < 2^rate — the theoretical
+       stall bound, so this passes unless a pathological window (e.g.
+       one whose straddling slot only READS for the whole window)
+       performs no contraction at all.
+    4. COMPOSE: evaluate each window once more from ALL 2^rate
+       consecutive entry samples {a, .., a + 2^rate - 1} (exits only
+       — [K, S, 2^rate] state, no per-event storage), giving the
+       window's exact entry->exit map on every value the bracket can
+       contain.  Adjacent windows' samples align by construction
+       (w+1's base is w's sample-0 exit), so maps compose exactly; a
+       log-depth ``associative_scan`` of map composition yields every
+       window's exact entry, and one final single-state scan emits the
+       exact per-event values.
     """
     k_dim, e_total = slots.shape
-    warm = WARMUP[rate]
+    nsamp = 1 << rate
     n_seg = -(-e_total // seg)
     e_pad = n_seg * seg
     if e_pad != e_total:
@@ -87,61 +123,103 @@ def _chain_values_sorted(slots, bits, advance, init_vals, rate: int, seg: int):
     prev = jnp.concatenate(
         [jnp.full((k_dim, 1), -2, slots.dtype), slots[:, :-1]], axis=1
     )
-    is_start = slots != prev
+    # Inactive events (SENT-keyed or padding) sort to a suffix of the
+    # stream and their values are never consumed; forcing them to RESET
+    # the chain keeps brackets contracted there, so a mostly-empty row
+    # cannot fail certification on windows nothing reads.
+    is_start = (slots != prev) | (slots < 0) | (slots >= SENT)
 
-    gidx = (jnp.arange(n_seg) * seg)[:, None] + jnp.arange(-warm, seg)[None, :]
-    in_rng = (gidx >= 0) & (gidx < e_pad)
-    gc = jnp.clip(gidx, 0, e_pad - 1)  # [S, W]
+    def win(x):  # [K, E_pad] -> [seg, K, S] (scan-major)
+        return x.reshape(k_dim, n_seg, seg).transpose(2, 0, 1)
 
-    def gw(x):
-        return x[:, gc]  # [K, S, W]
+    xs = (win(is_start), win(bits), win(advance), win(init_vals))
 
-    w_bits = gw(bits) & in_rng[None]
-    w_adv = gw(advance) & in_rng[None]
-    w_start = gw(is_start) & in_rng[None]
-    w_init = gw(init_vals)
+    def step_pair(carry, x):  # bracket/relax: two candidates, no emission
+        c0, c1 = carry
+        st, bt, at, it = x
+        c0 = jnp.where(st, it, c0)
+        c1 = jnp.where(st, it, c1)
+        n0 = _counter_step(c0, bt, rate)
+        n1 = _counter_step(c1, bt, rate)
+        return (jnp.where(at, n0, c0), jnp.where(at, n1, c1)), None
 
-    # Speculative candidates: the exact reachable extremes from the
-    # slot's init value.  Only bit-0 steps descend and only bit-1 steps
-    # ascend, both monotone, so min/max reachable = the fixpoints of
-    # iterating each direction from init — any true mid-chain state is
-    # bracketed, and candidate agreement certifies exactness.
-    def fixpoint(x, bit_val):
-        for _ in range(20):  # 3/4 contraction: 20 steps reach the stall
-            x = _counter_step(x, bit_val, rate)
-        return x
+    def shift_entries(x0, x1):
+        # window w's entry candidates <- window w-1's exit bracket;
+        # window 0 has no predecessor (its first event is always a
+        # group start), any value works.
+        z = jnp.zeros((k_dim, 1), jnp.int32)
+        return (
+            jnp.concatenate([z, x0[:, :-1]], axis=1),
+            jnp.concatenate([z, x1[:, :-1]], axis=1),
+        )
 
-    # The window-entry state is speculative: the true mid-chain state
-    # of the slot active at the window's first position is bracketed by
-    # the reachable extremes from that slot's init (only bit-0 steps
-    # descend / bit-1 steps ascend, both monotone, so the reachable set
-    # from init I is [f0^inf(I), f1^inf(I)]).  Group starts inside the
-    # window reset BOTH candidates to the exact init.
-    entry_init = w_init[:, :, 0]  # [K, S]
-    s0_init = fixpoint(entry_init, jnp.zeros((), bool))
-    s1_init = fixpoint(entry_init, jnp.ones((), bool))
+    # 1-2: bracket from the full domain, then relax until certified
+    # (or the round cap, for chains a window of pure non-advancing
+    # reads keeps wide — legitimately uncertifiable, callers fall
+    # back).
+    s0 = jnp.zeros((k_dim, n_seg), jnp.int32)
+    s1 = jnp.full((k_dim, n_seg), 65535, jnp.int32)
+    x0, x1 = jax.lax.scan(step_pair, (s0, s1), xs)[0]
 
-    def step(carry, xs):
-        s0, s1 = carry
-        st, bt, at, it = xs
-        s0 = jnp.where(st, it, s0)
-        s1 = jnp.where(st, it, s1)
-        e0, e1 = s0, s1
-        n0 = _counter_step(s0, bt, rate)
-        n1 = _counter_step(s1, bt, rate)
-        return (jnp.where(at, n0, s0), jnp.where(at, n1, s1)), (e0, e1)
+    def relax_cond(carry):
+        r, x0, x1 = carry
+        a, b = shift_entries(x0, x1)
+        return (r < max_relax_rounds) & ~jnp.all(b - a < nsamp)
 
-    xs = (
-        w_start.transpose(2, 0, 1),
-        w_bits.transpose(2, 0, 1),
-        w_adv.transpose(2, 0, 1),
-        w_init.transpose(2, 0, 1),
+    def relax_body(carry):
+        r, x0, x1 = carry
+        x0, x1 = jax.lax.scan(step_pair, shift_entries(x0, x1), xs)[0]
+        return r + 1, x0, x1
+
+    _, x0, x1 = jax.lax.while_loop(
+        relax_cond, relax_body, (jnp.int32(0), x0, x1)
     )
-    (_, _), (v0, v1) = jax.lax.scan(step, (s0_init, s1_init), xs)
-    v0 = v0[warm:].transpose(1, 2, 0).reshape(k_dim, e_pad)
-    v1 = v1[warm:].transpose(1, 2, 0).reshape(k_dim, e_pad)
-    ok = jnp.all((v0 == v1) | (slots < 0) | (slots >= SENT), axis=1)
-    return v0[:, :e_total], ok
+    a, b = shift_entries(x0, x1)
+
+    # 3: certify the stall bound.
+    ok = jnp.all(b - a < nsamp, axis=1)
+
+    # 4a: sampled-map pass — exits from every entry the bracket can
+    # contain.  Samples past b are unused when certified (kept in
+    # domain; counter steps never leave [0, 65535]).
+    samples = jnp.minimum(
+        a[:, :, None] + jnp.arange(nsamp, dtype=jnp.int32), 65535
+    )  # [K, S, nsamp]
+
+    def step_map(carry, x):
+        st, bt, at, it = x
+        c = jnp.where(st[..., None], it[..., None], carry)
+        n = _counter_step(c, bt[..., None], rate)
+        return jnp.where(at[..., None], n, c), None
+
+    m = jax.lax.scan(step_map, samples, xs)[0]  # [K, S, nsamp]
+
+    # 4b: compose maps left-to-right.  Exactness of the gather needs
+    # left's values to lie inside right's sample range, which holds
+    # for certified rows: left's exits are within [x0, x1] of its last
+    # window, and right's base is that x0 (shift_entries alignment).
+    def compose(left, right):
+        la, lm = left
+        ra, rm = right
+        idx = jnp.clip(lm - ra[..., None], 0, nsamp - 1)
+        return la, jnp.take_along_axis(rm, idx, axis=2)
+
+    _, pm = jax.lax.associative_scan(compose, (a, m), axis=1)
+    # exact entry of window w = composite exit of windows [0, w-1]
+    # applied to window 0's (arbitrary) sample-0 entry.
+    entry = jnp.concatenate([a[:, :1], pm[:, :-1, 0]], axis=1)  # [K, S]
+
+    # 4c: final single-state exact evaluation with emission.
+    def step_emit(carry, x):
+        st, bt, at, it = x
+        c = jnp.where(st, it, carry)
+        n = _counter_step(c, bt, rate)
+        return jnp.where(at, n, c), c
+
+    _, v = jax.lax.scan(step_emit, entry, xs)  # [seg, K, S]
+
+    v = v.transpose(1, 2, 0).reshape(k_dim, e_pad)
+    return v[:, :e_total], ok
 
 
 def _chain(keys, times, bits, advance, init_vals, rate: int, seg: int,
@@ -149,10 +227,11 @@ def _chain(keys, times, bits, advance, init_vals, rate: int, seg: int,
     """Sort -> evaluate -> unsort.  Returns (vals in original event
     order [K, E], ok [K]).
 
-    speculative=False uses the exact full-stream scan; True uses the
-    windowed speculative evaluation (faster in wall-clock depth, but
-    slow-rate chains on structured data can fail to converge — the ok
-    flag reports it)."""
+    speculative=False uses the exact full-stream scan (sequential in
+    E); True uses the windowed evaluation — ALSO exact, by bracketed
+    entries + sampled-map composition (see _chain_values_sorted), with
+    an ~E/seg sequential-depth cut; its ok flag reports the (near-
+    impossible) bracket-stall-bound violation."""
     k_dim, e_total = keys.shape
     pos = jnp.broadcast_to(jnp.arange(e_total, dtype=jnp.int32), (k_dim, e_total))
     sk, _, sb, sa, si, sp = jax.lax.sort(
@@ -184,7 +263,7 @@ def cm_encode_parallel_batch(
     lengths: jax.Array,
     seg: int = 2048,
     out_width: int | None = None,
-    speculative: bool = False,
+    speculative: bool = True,
 ):
     """Parallel CM encode of each row.  data [K, N] u8, lengths [K].
 

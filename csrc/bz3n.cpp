@@ -533,6 +533,16 @@ static double sais_tm[8][10];  // [depth][phase] seconds
 #define SAIS_T(depth, phase, ...) __VA_ARGS__
 #endif
 
+#ifdef BZ3N_SAIS_TIME
+// Profiling-build accessor: copies the [8 depths][10 phases] stage
+// seconds (phases: 0 first induce, 1 naming, 2 final induce, 3 setup/
+// LMS place, 4 compact, 5 clear, 6 reduced build, 7 recurse, 8 unmap,
+// 9 LMS re-place).  Absent from production builds.
+extern "C" void bz3n_sais_times(double *out80) {
+    memcpy(out80, sais_tm, sizeof(sais_tm));
+}
+#endif
+
 // Per-(thread, recursion-depth) scratch so the recursion never
 // mallocs: at depth 1 the bucket arrays alone can reach ~24 MB
 // (K2 = 2*(names+2)); fresh std::vector allocation zero-fills them

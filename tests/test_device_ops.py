@@ -198,6 +198,29 @@ def test_cm_parallel_on_bwt_output(text_data):
     assert np.asarray(out)[0, : int(olens[0])].tobytes() == ref_cm_enc(u)
 
 
+def test_cm_parallel_windowed_tiny_segments(text_data):
+    """The windowed (speculative) mode at a tiny seg maximizes window
+    count and bracket hand-offs; it must certify and stay byte-exact
+    on skewed post-BWT data (the class whose ulp stalls defeated the
+    old agreement-based certification)."""
+    from bzip3_tpu.ops.device.cm_parallel import cm_encode_parallel_batch
+
+    rng = np.random.default_rng(77)
+    skew = rng.choice(
+        np.frombuffer(b"aab", np.uint8), size=3000, p=[0.6, 0.3, 0.1]
+    ).tobytes()
+    cases = [ref_bwt(skew)[0], ref_bwt(text_data[:3000])[0]]
+    arr, lens = _batch(cases, 3000)
+    out, olens, ok = cm_encode_parallel_batch(arr, lens, seg=128)
+    out, olens, ok = np.asarray(out), np.asarray(olens), np.asarray(ok)
+    exact = cm_encode_parallel_batch(arr, lens, seg=128, speculative=False)
+    for i, c in enumerate(cases):
+        assert bool(ok[i]), i
+        want = ref_cm_enc(c)
+        assert out[i, : olens[i]].tobytes() == want, i
+        assert np.asarray(exact[0])[i, : olens[i]].tobytes() == want, i
+
+
 @pytest.mark.slow
 def test_bwt_16mib_width_no_blowup():
     """The -b 16 block width (2^24) must compile and run through the
