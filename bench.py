@@ -67,8 +67,13 @@ def make_corpus(size: int, seed: int = 0) -> bytes:
     return b"".join(parts)[:size]
 
 
-def run_engine(engine, corpus: bytes, block_size: int):
-    """Round-trip `corpus` through `engine`; returns a metrics dict."""
+def run_engine(engine, corpus: bytes, block_size: int, reps: int = 1):
+    """Round-trip `corpus` through `engine`; returns a metrics dict.
+
+    ``reps`` > 1 reports best-of-N per direction — used for the device
+    engine, whose timings through the shared accelerator tunnel swing
+    2-3x run to run (host engines on this box swing ~±20%, one rep is
+    representative and the corpus is 8x larger)."""
     blocks = [corpus[i : i + block_size] for i in range(0, len(corpus), block_size)]
     pairs = lambda enc: [(e, len(b)) for e, b in zip(enc, blocks)]
 
@@ -77,15 +82,18 @@ def run_engine(engine, corpus: bytes, block_size: int):
     dec_w = engine.decode_blocks(pairs(enc_w), block_size)
     assert dec_w == blocks, "warmup round-trip mismatch"
 
-    t0 = time.perf_counter()
-    encoded = engine.encode_blocks(blocks, block_size)
-    t1 = time.perf_counter()
-    decoded = engine.decode_blocks(pairs(encoded), block_size)
-    t2 = time.perf_counter()
-    assert decoded == blocks, "round-trip mismatch"
+    enc_s, dec_s = float("inf"), float("inf")
+    for _ in range(max(1, reps)):
+        t0 = time.perf_counter()
+        encoded = engine.encode_blocks(blocks, block_size)
+        t1 = time.perf_counter()
+        decoded = engine.decode_blocks(pairs(encoded), block_size)
+        t2 = time.perf_counter()
+        assert decoded == blocks, "round-trip mismatch"
+        enc_s = min(enc_s, t1 - t0)
+        dec_s = min(dec_s, t2 - t1)
 
     n = len(corpus)
-    enc_s, dec_s = t1 - t0, t2 - t1
     return {
         "rt_MiBs": round((n / (1 << 20)) / (enc_s + dec_s), 4),
         "encode_MiBs": round((n / (1 << 20)) / enc_s, 4),
@@ -152,7 +160,10 @@ def main():
         try:
             dev = get_engine("device")
             device_stats = run_engine(
-                dev, make_corpus(int(dev_mib * (1 << 20))), int(dev_block_mib * (1 << 20))
+                dev,
+                make_corpus(int(dev_mib * (1 << 20))),
+                int(dev_block_mib * (1 << 20)),
+                reps=int(os.environ.get("BENCH_DEVICE_REPS", "3")),
             )
             if with_device_b16:
                 device_b16_stats = run_engine(
