@@ -165,9 +165,14 @@ class DevicePipeline:
         )
         crc = np.asarray(crc)
         idx = np.asarray(idx)
-        payload = np.asarray(payload)
         plens = np.asarray(plens)
         ok = np.asarray(ok)
+        # Device->host through the accelerator tunnel runs ~15 MB/s
+        # (measured; H2D is ~400), so never pull the padded payload
+        # width: slice to the longest real payload on device first
+        # (compressed payloads are ~ratio * W, a 5-6x transfer cut).
+        max_len = min(int(plens.max(initial=0)), payload.shape[1])
+        payload = np.asarray(payload[:, :max_len])
 
         out = []
         for i, data in enumerate(blocks):
@@ -254,7 +259,9 @@ class DevicePipeline:
             jnp.asarray(np.array(idxs, np.int32)),
             self.width,
         )
-        data = np.asarray(data)
+        # Same slow-D2H mitigation as encode: rows only hold sbb bytes
+        # (the post-LZP/RLE size, typically well under the block width).
+        data = np.asarray(data[:, : max(sbbs, default=0)])
 
         finals = []
         for i, (block, orig_size) in enumerate(blocks):
