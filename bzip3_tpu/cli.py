@@ -3,7 +3,7 @@
 Flag-for-flag parity with the reference CLI (src/main.c:553-585):
 -e/-z encode, -d decode, -t test, -r recover, -c stdout, -f force,
 --rm, -k keep, -v verbose, -V version, -b block-MiB, -B batch,
--j jobs.  Extension: --engine {auto,native,oracle,device,sharded}
+-j jobs.  Extension: --engine {auto,native,oracle,device,sharded,hybrid}
 selects the compute backend (TPU pipeline vs native host runtime).
 
 File handling mirrors the reference: encode appends ``.bz3``
@@ -138,7 +138,7 @@ def build_parser():
     p.add_argument("-B", "--batch", action="store_true")
     p.add_argument("-j", "--jobs", type=int, default=0, metavar="N")
     p.add_argument("--engine", default="auto",
-                   choices=["auto", "native", "oracle", "device", "sharded"])
+                   choices=["auto", "native", "oracle", "device", "sharded", "hybrid"])
     p.add_argument("files", nargs="*")
     return p
 
@@ -166,7 +166,7 @@ def main(argv=None):
             "  -b N, --block=N   set block size in MiB {16}\n"
             "  -B, --batch       process all files specified as inputs\n"
             "  -j N, --jobs=N    set the amount of parallel threads\n"
-            "  --engine=E        compute backend: auto|native|oracle|device|sharded\n"
+            "  --engine=E        compute backend: auto|native|oracle|device|sharded|hybrid\n"
         )
         return 0
     if args.version:

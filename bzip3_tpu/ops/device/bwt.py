@@ -24,6 +24,7 @@ libsais_unbwt_aux r-spaced decoder, include/libsais.h:5210), then
 vector gather instead of 1 byte of serial work.
 """
 
+import os
 from functools import partial
 
 import jax
@@ -80,14 +81,18 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
         rank, k, done = carry
         return jnp.logical_and(jnp.logical_not(done), k < n)
 
+    stride = int(os.environ.get("BZ3_TPU_BWT_STRIDE", "4"))
+
     def body(carry):
         rank, k, _ = carry
 
-        # Generalized doubling with STRIDE 4 (Larsson–Sadakane widened):
-        # sorting by (r_i, r_{i+k}, r_{i+2k}, r_{i+3k}) orders prefixes
-        # of length 4k, so each O(N log N) sort round QUADRUPLES the
-        # resolved prefix — log4 rounds instead of log2 for the same
-        # per-round sort cost class (the sort is the measured wall).
+        # Generalized doubling with STRIDE s (Larsson–Sadakane
+        # widened): sorting by (r_i, r_{i+k}, .., r_{i+(s-1)k}) orders
+        # prefixes of length s*k, so each O(N log N) sort round
+        # multiplies the resolved prefix by s — log_s rounds instead
+        # of log2 for the same per-round sort cost class (the sort is
+        # the measured wall).  Stride 4 measured best on chip (8 adds
+        # key-compare cost faster than it removes rounds).
         def rank_at(off):
             return jnp.where(
                 pos + off < n,
@@ -95,13 +100,11 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
                 jnp.int32(-1),
             )
 
-        rk1 = rank_at(k)
-        rk2 = rank_at(2 * k)
-        rk3 = rank_at(3 * k)
-        _, _, _, _, order = jax.lax.sort(
-            (rank, rk1, rk2, rk3, pos), num_keys=4, is_stable=True
+        rks = [rank] + [rank_at(i * k) for i in range(1, stride)]
+        *_, order = jax.lax.sort(
+            (*rks, pos), num_keys=stride, is_stable=True
         )
-        ords = [jnp.take_along_axis(a, order, axis=1) for a in (rank, rk1, rk2, rk3)]
+        ords = [jnp.take_along_axis(a, order, axis=1) for a in rks]
         changed = ords[0][:, 1:] != ords[0][:, :-1]
         for a in ords[1:]:
             changed = changed | (a[:, 1:] != a[:, :-1])
@@ -112,7 +115,7 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
         bidx = jnp.arange(k_dim)[:, None]
         new_rank = jnp.zeros((k_dim, n), jnp.int32).at[bidx, order].set(ranks_sorted)
         done = jnp.all(ranks_sorted[:, -1] == n - 1)
-        return new_rank, k * 4, done
+        return new_rank, k * stride, done
 
     init_done = jnp.all(rank.max(axis=1) == n - 1)
     rank, _, _ = jax.lax.while_loop(cond, body, (rank, jnp.int32(4), init_done))

@@ -120,3 +120,21 @@ def test_cm_encode_batch_reports_overflow_length():
     )
     assert int(np.asarray(lens2)[0]) == true_len  # length survives the clamp
     assert true_len > max(8, true_len // 4)  # i.e. ok would be False
+
+
+def test_hybrid_engine_matches_native(blocks):
+    """Hybrid (device+native concurrent split) must be byte-identical
+    to the native engine and round-trip."""
+    from bzip3_tpu.engines import get_engine
+
+    try:
+        nat = get_engine("native")
+    except Exception:
+        pytest.skip("no native toolchain")
+    hyb = get_engine("hybrid")
+    hyb.device_share = 0.5  # force a real split regardless of env
+    enc_h = hyb.encode_blocks(blocks, BS)
+    enc_n = nat.encode_blocks(blocks, BS)
+    assert enc_h == enc_n
+    pairs = [(e, len(b)) for e, b in zip(enc_h, blocks)]
+    assert hyb.decode_blocks(pairs, BS) == blocks
