@@ -4,7 +4,7 @@ CXX ?= g++
 CXXFLAGS ?= -O3 -march=native -fPIC -shared -pthread
 PY ?= python
 
-.PHONY: all native test roundtrip bench clean cloc fuzz-native
+.PHONY: all native test roundtrip bench clean cloc fuzz-native ci-local
 
 all: native
 
@@ -35,6 +35,16 @@ fuzz-native:
 	$(CXX) -O1 -g -fsanitize=address,undefined -fno-sanitize-recover=all \
 		-pthread -Icsrc csrc/fuzz_bz3n.cpp -o _build/fuzz_bz3n
 	_build/fuzz_bz3n $(FUZZ_ITERS)
+
+# Run the full CI workflow (.github/workflows/ci.yml) locally — the
+# same steps a hosted runner would execute.
+ci-local: native test roundtrip
+	$(PY) examples/fuzz_round_trip.py 0 400
+	$(PY) examples/fuzz_decode_block.py 0 800
+	$(PY) examples/fuzz_decompress.py 0 500
+	$(PY) examples/hl_api.py
+	$(MAKE) fuzz-native FUZZ_ITERS=20000
+	@echo ci-local OK
 
 clean:
 	rm -rf _build __pycache__ bzip3_tpu/__pycache__

@@ -64,3 +64,69 @@ def test_engines_agree_on_corruption(text_data):
         assert outcomes[0][0] == outcomes[1][0], trial
         if outcomes[0][0] == "ok":
             assert outcomes[0][1] == outcomes[1][1], trial
+
+
+@pytest.mark.slow
+def test_corruption_differential_vs_reference_binary(tmp_path, text_data):
+    """Differential accept/reject against the compiled REFERENCE
+    binary (local-only; skips where /root/reference is absent): random
+    byte flips and truncations of a multi-block stream must make both
+    decoders agree on success vs failure, and byte-agree on mutual
+    success.  This pins the hardening checks to the reference's actual
+    behavior, not just our oracle's reading of it."""
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    refsrc = "/root/reference/src/libbz3.c"
+    refbin = "/tmp/refbuild/bzip3ref"
+    if not os.path.exists(refsrc):
+        pytest.skip("reference sources not available")
+    if not os.path.exists(refbin):
+        if shutil.which("gcc") is None:
+            pytest.skip("no C toolchain")
+        os.makedirs("/tmp/refbuild", exist_ok=True)
+        subprocess.run(
+            ["gcc", "-O2", '-DVERSION="1.5.2"', "-DPTHREAD",
+             "-I/root/reference/include", refsrc,
+             "/root/reference/src/main.c", "-o", refbin, "-lpthread"],
+            check=True, capture_output=True,
+        )
+
+    src = (text_data * 3)[: 3 << 20]
+    plain = tmp_path / "in.txt"
+    plain.write_bytes(src)
+    enc = subprocess.run(
+        [sys.executable, "-m", "bzip3_tpu", "--engine", "native",
+         "-e", "-b", "1", "-c", str(plain)],
+        capture_output=True, check=True,
+    ).stdout
+    assert enc.count(b"BZ3v1") == 1 and len(enc) > 4096
+
+    rng = np.random.default_rng(99)
+    agree = 0
+    for trial in range(16):
+        b = bytearray(enc)
+        if trial % 4 == 3:
+            b = b[: int(rng.integers(16, len(b)))]  # truncation
+        else:
+            for _ in range(int(rng.integers(1, 4))):
+                b[int(rng.integers(0, len(b)))] ^= 1 << int(rng.integers(0, 8))
+        blob = bytes(b)
+        bad = tmp_path / f"t{trial}.bz3"
+        bad.write_bytes(blob)
+        ref = subprocess.run([refbin, "-d", "-c", str(bad)], capture_output=True)
+        ours = subprocess.run(
+            [sys.executable, "-m", "bzip3_tpu", "--engine", "native",
+             "-d", "-c", str(bad)],
+            capture_output=True,
+        )
+        ok_ref = ref.returncode == 0
+        ok_ours = ours.returncode == 0
+        assert ok_ref == ok_ours, (trial, ref.stderr, ours.stderr)
+        if ok_ref:
+            assert ref.stdout == ours.stdout, trial
+            agree += 1
+    # corrupted streams should mostly fail; the loop asserts agreement
+    assert agree <= 16

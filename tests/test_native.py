@@ -228,3 +228,27 @@ def test_jumbo_block_past_quad_cap_roundtrip(native):
     enc = native.encode_blocks([src], 0)[0]
     dec = native.decode_blocks([(enc, n)], n, 0)[0]
     assert bytes(dec) == src
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not os.environ.get("BZ3_HEAVY"),
+    reason="~10 min, 6+ GB: the 511 MiB ceiling proof; set BZ3_HEAVY=1",
+)
+def test_reference_max_block_roundtrip(native):
+    """The reference's hard block-size ceiling is 511 MiB
+    (src/libbz3.c:536).  One block at exactly that size through the
+    native codec proves the framework accepts the format's largest
+    legal block: SA-IS at ~5.3e8 positions (just under its s32 n<2^29
+    bound) and the u64 inverse-BWT walk at the same scale.  Run-heavy
+    data keeps the CM stage's share of the runtime sane."""
+    n = 511 << 20
+    rng = np.random.default_rng(13)
+    raw = rng.integers(40, 56, n, dtype=np.uint8)
+    runs = rng.random(n) < 0.85
+    raw[1:][runs[1:]] = raw[:-1][runs[1:]]
+    src = raw.tobytes()
+    del raw, runs
+    enc = native.encode_blocks([src], 0)[0]
+    dec = native.decode_blocks([(enc, n)], n, 0)[0]
+    assert bytes(dec) == src
