@@ -775,15 +775,16 @@ def _decode_call(payload, plens, olens, lanes, n_steps, in_chunks, interpret, sp
     return out
 
 
-def _pick_lanes(k_dim: int, lanes: int | None) -> int:
+def _pick_lanes(k_dim: int, lanes: int | None, cap_default: int = 16) -> int:
     """Default lane count: smallest power of two >= k_dim, clamped to
-    [8, BZ3_TPU_CM_LANES (default 16)].  Measured on chip (packed
-    kernel, 64 KiB/lane): decode 3.26/4.86/5.11 MB/s and encode
-    4.86/5.93/6.94 at L=8/16/32 — L=16 is the decode knee, and small
-    batches shouldn't pay the wider kernel's 1.34x per-step cost."""
+    [8, BZ3_TPU_CM_LANES (default per direction)].  Measured on chip
+    (packed kernel, 64 KiB/lane): decode 3.26/4.86/5.11 MB/s and
+    encode 4.86/5.93/6.94 at L=8/16/32 — decode knees at 16 lanes but
+    encode keeps scaling to 32 (+17%), and small batches shouldn't pay
+    the wider kernel's 1.34x per-step cost."""
     if lanes is not None:
         return lanes
-    cap = max(8, int(os.environ.get("BZ3_TPU_CM_LANES", "16")))
+    cap = max(8, int(os.environ.get("BZ3_TPU_CM_LANES", str(cap_default))))
     l = 8
     while l < min(cap, k_dim):
         l *= 2
@@ -1157,7 +1158,7 @@ def cm_encode_pallas_batch(
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    lanes = _pick_lanes(data.shape[0], lanes)
+    lanes = _pick_lanes(data.shape[0], lanes, cap_default=32)
     if spec is None:
         spec = os.environ.get("BZ3_TPU_SPEC_MUL", "1") == "1"
     k_dim, n = data.shape
