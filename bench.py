@@ -151,7 +151,10 @@ def main():
     if engine_name != "device":
         engine = get_engine(engine_name)
         primary = run_engine(
-            engine, make_corpus(int(size_mib * (1 << 20))), int(block_mib * (1 << 20))
+            engine,
+            make_corpus(int(size_mib * (1 << 20))),
+            int(block_mib * (1 << 20)),
+            reps=int(os.environ.get("BENCH_REPS", "2")),
         )
         primary_block = block_mib
 
