@@ -21,23 +21,26 @@ import pytest
 _WORKER = r"""
 import os, sys, pickle
 
+proc_id = int(sys.argv[1])
+coord = sys.argv[2]
+out_path = sys.argv[3]
+nproc = int(sys.argv[4])
+ndev = int(sys.argv[5])
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+    os.environ.get("XLA_FLAGS", "")
+    + f" --xla_force_host_platform_device_count={ndev}"
 ).strip()
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 2)
-
-proc_id = int(sys.argv[1])
-coord = sys.argv[2]
-out_path = sys.argv[3]
+jax.config.update("jax_num_cpu_devices", ndev)
 
 jax.distributed.initialize(
-    coordinator_address=coord, num_processes=2, process_id=proc_id,
-    local_device_ids=[0, 1],
+    coordinator_address=coord, num_processes=nproc, process_id=proc_id,
+    local_device_ids=list(range(ndev)),
 )
 
 import numpy as np
@@ -47,17 +50,17 @@ sys.path.insert(0, os.environ["REPO_DIR"])
 from bzip3_tpu.parallel import multihost as mh
 from bzip3_tpu.parallel.sharding import sharded_encode_core
 
-assert jax.process_count() == 2, jax.process_count()
+K = nproc * ndev  # one row per device
+assert jax.process_count() == nproc, jax.process_count()
 mesh = mh.global_mesh()
-assert mesh.devices.size == 4
+assert mesh.devices.size == K
 
-# Each process contributes 2 rows (one per local device).
 N = 512
 rng = np.random.default_rng(7)
-all_rows = rng.integers(97, 123, (4, N), dtype=np.uint8)  # same seed everywhere
-local = all_rows[proc_id * 2 : proc_id * 2 + 2]
+all_rows = rng.integers(97, 123, (K, N), dtype=np.uint8)  # same seed everywhere
+local = all_rows[proc_id * ndev : proc_id * ndev + ndev]
 g = mh.make_global_batch(mesh, local)
-lens = mh.make_global_batch(mesh, np.full((2,), N, np.int32))
+lens = mh.make_global_batch(mesh, np.full((ndev,), N, np.int32))
 
 enc = sharded_encode_core(mesh)
 crc, idx, payload, plens, ok, total = enc(g, lens, g, lens)
@@ -70,7 +73,7 @@ if jax.process_index() == 0:
     with open(out_path, "wb") as f:
         pickle.dump(
             {
-                "payloads": [pay_np[i, : plens_np[i]].tobytes() for i in range(4)],
+                "payloads": [pay_np[i, : plens_np[i]].tobytes() for i in range(K)],
                 "crc": np.asarray(crc_np).tolist(),
                 "idx": np.asarray(idx_np).tolist(),
                 "ok": np.asarray(ok_np).tolist(),
@@ -94,7 +97,12 @@ def _free_port():
 
 
 @pytest.mark.slow
-def test_two_process_distributed_encode(tmp_path):
+@pytest.mark.parametrize(
+    "nproc,ndev",
+    [(2, 2), (4, 1)],
+    ids=["2proc_x_2dev", "4proc_x_1dev"],
+)
+def test_multi_process_distributed_encode(tmp_path, nproc, ndev):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)
@@ -106,13 +114,14 @@ def test_two_process_distributed_encode(tmp_path):
     env.pop("JAX_COMPILATION_CACHE_DIR", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(i), coord, str(out_path)],
+            [sys.executable, str(worker), str(i), coord, str(out_path),
+             str(nproc), str(ndev)],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
         )
-        for i in range(2)
+        for i in range(nproc)
     ]
     outs = []
     for p in procs:
@@ -137,8 +146,10 @@ def test_two_process_distributed_encode(tmp_path):
 
     from bzip3_tpu.models.block_codec import encode_block
 
+    k_total = nproc * ndev
     assert all(res["ok"])
-    for i in range(4):
+    assert len(res["payloads"]) == k_total
+    for i in range(k_total):
         row = res["rows"][i].tobytes()
         ref = encode_block(row)
         # oracle block = crc(4) + bwt_idx(4) + model(1) + payload
