@@ -172,6 +172,17 @@ def main():
                 device_b16_stats = run_engine(
                     dev, make_corpus(16 << 20), 16 << 20
                 )
+            if os.environ.get("BENCH_HYBRID", "1") == "1":
+                # Box-level maximum: pool + chip splitting one batch.
+                hy = run_engine(
+                    get_engine("hybrid"),
+                    make_corpus(int(dev_mib * (1 << 20))),
+                    int(dev_block_mib * (1 << 20)),
+                    reps=2,
+                )
+                result["hybrid_rt_MiBs"] = hy["rt_MiBs"]
+                result["hybrid_encode_MiBs"] = hy["encode_MiBs"]
+                result["hybrid_decode_MiBs"] = hy["decode_MiBs"]
             if with_sharded:
                 # On a single chip this equals the device engine modulo
                 # shard_map overhead; on a mesh it scales block-DP.
