@@ -4,7 +4,7 @@ CXX ?= g++
 CXXFLAGS ?= -O3 -march=native -fPIC -shared -pthread
 PY ?= python
 
-.PHONY: all native test roundtrip bench clean cloc fuzz-native ci-local
+.PHONY: all native test roundtrip bench clean cloc fuzz-native fuzz-py ci-local
 
 all: native
 
@@ -36,12 +36,16 @@ fuzz-native:
 		-pthread -Icsrc csrc/fuzz_bz3n.cpp -o _build/fuzz_bz3n
 	_build/fuzz_bz3n $(FUZZ_ITERS)
 
-# Run the full CI workflow (.github/workflows/ci.yml) locally — the
-# same steps a hosted runner would execute.
-ci-local: native test roundtrip
+# Python fuzz harnesses at CI volume — the single source of truth for
+# the iteration counts (ci.yml calls this target).
+fuzz-py:
 	$(PY) examples/fuzz_round_trip.py 0 400
 	$(PY) examples/fuzz_decode_block.py 0 800
 	$(PY) examples/fuzz_decompress.py 0 500
+
+# Run the full CI workflow (.github/workflows/ci.yml) locally — the
+# same steps a hosted runner would execute, plus the API example.
+ci-local: native test roundtrip fuzz-py
 	$(PY) examples/hl_api.py
 	$(MAKE) fuzz-native FUZZ_ITERS=20000
 	@echo ci-local OK

@@ -162,9 +162,10 @@ def main():
     if with_device or engine_name in ("device", "sharded"):
         try:
             dev = get_engine("device")
+            dev_corpus = make_corpus(int(dev_mib * (1 << 20)))
             device_stats = run_engine(
                 dev,
-                make_corpus(int(dev_mib * (1 << 20))),
+                dev_corpus,
                 int(dev_block_mib * (1 << 20)),
                 reps=int(os.environ.get("BENCH_DEVICE_REPS", "3")),
             )
@@ -180,7 +181,7 @@ def main():
                 # Box-level maximum: pool + chip splitting one batch.
                 hy = run_engine(
                     get_engine("hybrid"),
-                    make_corpus(int(dev_mib * (1 << 20))),
+                    dev_corpus,
                     int(dev_block_mib * (1 << 20)),
                     reps=2,
                 )
@@ -192,7 +193,7 @@ def main():
                 # shard_map overhead; on a mesh it scales block-DP.
                 sh = run_engine(
                     get_engine("sharded"),
-                    make_corpus(int(dev_mib * (1 << 20))),
+                    dev_corpus,
                     int(dev_block_mib * (1 << 20)),
                 )
                 result["sharded_rt_MiBs"] = sh["rt_MiBs"]

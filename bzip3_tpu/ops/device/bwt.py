@@ -81,7 +81,8 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
         rank, k, done = carry
         return jnp.logical_and(jnp.logical_not(done), k < n)
 
-    stride = int(os.environ.get("BZ3_TPU_BWT_STRIDE", "4"))
+    # stride < 2 would never refine ranks (infinite while_loop).
+    stride = max(2, int(os.environ.get("BZ3_TPU_BWT_STRIDE", "4")))
 
     def body(carry):
         rank, k, _ = carry

@@ -788,7 +788,7 @@ def _pick_lanes(k_dim: int, lanes: int | None, cap_default: int = 16) -> int:
     l = 8
     while l < min(cap, k_dim):
         l *= 2
-    return l
+    return min(l, cap)  # honor a non-power-of-two cap exactly
 
 
 def cm_decode_pallas_batch(

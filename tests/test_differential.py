@@ -74,25 +74,26 @@ def test_corruption_differential_vs_reference_binary(tmp_path, text_data):
     decoders agree on success vs failure, and byte-agree on mutual
     success.  This pins the hardening checks to the reference's actual
     behavior, not just our oracle's reading of it."""
+    import importlib.util
     import os
     import shutil
     import subprocess
     import sys
 
-    refsrc = "/root/reference/src/libbz3.c"
-    refbin = "/tmp/refbuild/bzip3ref"
-    if not os.path.exists(refsrc):
+    # Single canonical reference-binary builder (shared with the
+    # differential campaign harness, so flags can never drift).
+    spec = importlib.util.spec_from_file_location(
+        "bz3diff",
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "differential_vs_reference.py"),
+    )
+    bz3diff = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bz3diff)
+    if shutil.which("gcc") is None:
+        pytest.skip("no C toolchain")
+    if not bz3diff.ensure_refbin():
         pytest.skip("reference sources not available")
-    if not os.path.exists(refbin):
-        if shutil.which("gcc") is None:
-            pytest.skip("no C toolchain")
-        os.makedirs("/tmp/refbuild", exist_ok=True)
-        subprocess.run(
-            ["gcc", "-O2", '-DVERSION="1.5.2"', "-DPTHREAD",
-             "-I/root/reference/include", refsrc,
-             "/root/reference/src/main.c", "-o", refbin, "-lpthread"],
-            check=True, capture_output=True,
-        )
+    refbin = bz3diff.REFBIN
 
     src = (text_data * 3)[: 3 << 20]
     plain = tmp_path / "in.txt"
@@ -128,5 +129,6 @@ def test_corruption_differential_vs_reference_binary(tmp_path, text_data):
         if ok_ref:
             assert ref.stdout == ours.stdout, trial
             agree += 1
-    # corrupted streams should mostly fail; the loop asserts agreement
-    assert agree <= 16
+    # corrupted streams must mostly fail — if every flip/truncation is
+    # accepted by both decoders, hardening has regressed in lockstep.
+    assert agree < 16
