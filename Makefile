@@ -42,7 +42,7 @@ fuzz-py:
 	$(PY) examples/fuzz_round_trip.py 0 400
 	$(PY) examples/fuzz_decode_block.py 0 800
 	$(PY) examples/fuzz_decompress.py 0 500
-	$(PY) examples/differential_engines.py 0 25
+	$(PY) examples/differential_engines.py 0 10
 
 # Run the full CI workflow (.github/workflows/ci.yml) locally — the
 # same steps a hosted runner would execute, plus the API example.
