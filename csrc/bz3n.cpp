@@ -1013,7 +1013,16 @@ extern "C" s32 bz3n_bwt_inverse_ex(const u8 *in, u8 *out, s32 n, s32 index, s32 
     // to caller scratch silently dropped it to the 1-byte-per-miss
     // fallback (a measured 7 vs 20 MB/s per thread).
     static thread_local std::vector<u64> tl_quad, tl_pair;
-    std::vector<u64> *quad_vec = &tl_quad;
+    // BZ3N_QUAD=0 drops the quad composition pass (pair walk only):
+    // the quad build adds 16 B/byte of memory traffic to halve the
+    // walk's dependent misses — the right trade solo, measurable A/B
+    // when several pool threads share one memory system.
+    static int quad_on = -1;
+    if (quad_on < 0) {
+        const char *e = getenv("BZ3N_QUAD");
+        quad_on = e ? atoi(e) != 0 : 1;
+    }
+    std::vector<u64> *quad_vec = quad_on ? &tl_quad : nullptr;
 
     if (n + 1 < (1 << 24) && scratch_words >= (int64_t)(n + 2)) {
         u32 *node = (u32 *)scratch;  // n+1 u32 entries
