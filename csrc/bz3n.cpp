@@ -302,8 +302,11 @@ static s32 cm_encode(CmState *s, const u8 *buf, s32 size, u8 *out) {
         const u16 *rowB = s->C1[c2];
         u16 *rowW = s->C1[c1];
 
+        // ctx doubles from 1, so this tree descent is exactly 8 steps;
+        // the counted form (vs `while (ctx < 256)`) lets the compiler
+        // fully unroll it.
         int ctx = 1;
-        while (ctx < 256) {
+        for (int bit = 0; bit < 8; bit++) {
             const int p0 = s->C0[ctx];
             const int p1 = rowA[ctx];
             const int p2 = rowB[ctx];
@@ -379,8 +382,9 @@ static void cm_decode(CmState *s, const u8 *in, s32 in_len, u8 *out, s32 size) {
         const u16 *rowB = s->C1[c2];
         u16 *rowW = s->C1[c1];
 
+        // Exactly 8 steps (see cm_encode): counted so it unrolls.
         int ctx = 1;
-        while (ctx < 256) {
+        for (int bit = 0; bit < 8; bit++) {
             const int p0 = s->C0[ctx];
             const int p1 = rowA[ctx];
             const int p2 = rowB[ctx];
