@@ -53,7 +53,20 @@ static void crc_init() {
 
 extern "C" u32 bz3n_crc32(const u8 *buf, s32 n) {
     u32 c = 1;
-    for (s32 i = 0; i < n; i++) c = crc_table[(c ^ buf[i]) & 0xFF] ^ (c >> 8);
+    s32 i = 0;
+#ifdef __SSE4_2__
+    // The x86 crc32 instruction IS the reflected-CRC-32C byte update
+    // (same polynomial, no xor in/out), so the table loop and this
+    // path return identical values for any (init, data).
+    u64 c64 = c;
+    for (; i + 8 <= n; i += 8) {
+        u64 w;
+        __builtin_memcpy(&w, buf + i, 8);
+        c64 = __builtin_ia32_crc32di(c64, w);
+    }
+    c = (u32)c64;
+#endif
+    for (; i < n; i++) c = crc_table[(c ^ buf[i]) & 0xFF] ^ (c >> 8);
     return c;
 }
 
