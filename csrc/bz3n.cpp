@@ -1053,6 +1053,12 @@ extern "C" s32 bz3n_bwt_inverse_ex(const u8 *in, u8 *out, s32 n, s32 index, s32 
         tl_pair.resize((size_t)n + 2);
         u64 *pair = tl_pair.data();
         for (s32 j = 0; j + 7 <= n; j += 8) {
+            // The gather target of iteration j+32 is a sequential read
+            // away, so prefetching it extends the MLP window past what
+            // the OoO scheduler tracks on its own.
+            if (j + 39 <= n)
+                for (s32 q = 0; q < 8; q++)
+                    __builtin_prefetch(&node[node[j + 32 + q] >> 8]);
             for (s32 q = 0; q < 8; q++) {
                 u32 v = node[j + q];
                 u32 w = node[v >> 8];
@@ -1075,6 +1081,9 @@ extern "C" s32 bz3n_bwt_inverse_ex(const u8 *in, u8 *out, s32 n, s32 index, s32 
             quad_vec->resize((size_t)n + 2);
             u64 *quad = quad_vec->data();
             for (s32 j = 0; j + 7 <= n; j += 8) {
+                if (j + 39 <= n)
+                    for (s32 q = 0; q < 8; q++)
+                        __builtin_prefetch(&pair[pair[j + 32 + q] >> 16]);
                 for (s32 q = 0; q < 8; q++) {
                     u64 v = pair[j + q];
                     u64 w = pair[v >> 16];
