@@ -78,17 +78,28 @@ static s32 rle_encode(const u8 *in, s32 n, u8 *out, s32 out_cap) {
     int64_t t[256];
     memset(t, 0, sizeof t);
     // pass 1: gains — run starts cost 1, repeats gain 1 except every
-    // 255th repeat (which needs a continuation byte).
-    {
-        s32 i = 0;
-        while (i < n) {
-            u8 c = in[i];
-            s32 j = i + 1;
-            while (j < n && in[j] == c) j++;
-            s32 reps = j - i - 1;
-            t[c] += (int64_t)reps - reps / 255 - 1;
-            i = j;
+    // 255th repeat (which needs a continuation byte).  Per-run form
+    // t[c] += reps - reps/255 - 1 decomposes exactly per BYTE: a run
+    // start contributes -1, each continuation +1, and every 255th
+    // continuation within a run an extra -1 — so the pass is a
+    // branch-light histogram (4 sub-histograms break the same-slot
+    // store-forward chain on long runs) instead of a nested run scan.
+    if (n > 0) {
+        int64_t t4[4][256];
+        memset(t4, 0, sizeof t4);
+        t4[0][in[0]] -= 1;
+        u32 cnt = 0;
+        for (s32 i = 1; i < n; i++) {
+            const int same = in[i] == in[i - 1];
+            t4[i & 3][in[i]] += 2 * same - 1;
+            cnt = same ? cnt + 1 : 0;
+            if (cnt == 255) {  // 255th repeat: continuation byte cost
+                t4[0][in[i]] -= 1;
+                cnt = 0;
+            }
         }
+        for (int c = 0; c < 256; c++)
+            t[c] = t4[0][c] + t4[1][c] + t4[2][c] + t4[3][c];
     }
     if (out_cap < 32) return -1;
     s32 op = 0;
@@ -101,10 +112,10 @@ static s32 rle_encode(const u8 *in, s32 n, u8 *out, s32 out_cap) {
     s32 i = 0;
     while (i < n) {
         u8 c = in[i];
-        s32 j = i + 1;
-        while (j < n && in[j] == c) j++;
-        s32 run = j - i;
         if (t[c] > 0) {
+            s32 j = i + 1;
+            while (j < n && in[j] == c) j++;
+            s32 run = j - i;
             if (op + 2 > out_cap) return -1;
             out[op++] = c;
             while (run > 255) {
@@ -114,12 +125,18 @@ static s32 rle_encode(const u8 *in, s32 n, u8 *out, s32 out_cap) {
             }
             if (op >= out_cap) return -1;
             out[op++] = (u8)(run - 1);
+            i = j;
         } else {
-            if (op + run > out_cap) return -1;
-            memset(out + op, c, run);
-            op += run;
+            // Ungated byte values pass through verbatim, so a maximal
+            // ungated stretch is one bounds check + one memcpy instead
+            // of a memset per run (runs are ~1 byte on text).
+            s32 j = i + 1;
+            while (j < n && t[in[j]] <= 0) j++;
+            if (op + (j - i) > out_cap) return -1;
+            memcpy(out + op, in + i, (size_t)(j - i));
+            op += j - i;
+            i = j;
         }
-        i = j;
     }
     return op;
 }
