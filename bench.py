@@ -17,10 +17,15 @@ The line always carries BOTH engines' numbers:
   blocks, so the pthread pool can use up to eight cores.
 - device_*: the TPU pipeline (Pallas CM + XLA BWT/CRC + host LZP/RLE)
   measured at BENCH_DEVICE_BLOCK_MIB (default 1) blocks over
-  BENCH_DEVICE_MIB (default 16) MiB — the block size that fills the
+  BENCH_DEVICE_MIB (default 32) MiB — the block size that fills the
   CM kernel's lane group on one chip.  BENCH_DEVICE=0 skips it (e.g.
-  no accelerator); BENCH_DEVICE_B16=0 skips the single-block 16 MiB
-  `-b 16` device probe (two extra multi-minute kernel compiles).
+  no accelerator); BENCH_DEVICE_B16=0 skips the `-b 16` device probe
+  (BENCH_DEVICE_B16_MIB, default 128, of 16 MiB blocks — LANE-FILLED,
+  two extra multi-minute kernel compiles).
+- ref_pool_*: the compiled REFERENCE binary's own pthread pool on the
+  same corpus/box (pool-vs-pool); vs_ref_pool is the honest ratio.
+  vs_baseline stays vs the published single-thread 9.78 MiB/s
+  (baseline_mode says so).
 
 Set BENCH_ENGINE=device to make the device engine the primary metric.
 """
@@ -67,6 +72,79 @@ def make_corpus(size: int, seed: int = 0) -> bytes:
     return b"".join(parts)[:size]
 
 
+def _ref_binary() -> str | None:
+    """Compile the reference bzip3 (once) for live apples-to-apples
+    numbers.  Benchmark tooling only — the reference sources never
+    enter this repo."""
+    import shutil
+    import subprocess
+
+    path = "/tmp/refbuild/bzip3ref"
+    if os.path.exists(path):
+        return path
+    src = "/root/reference"
+    if not os.path.exists(os.path.join(src, "src", "libbz3.c")):
+        return None
+    cc = shutil.which("cc") or shutil.which("gcc")
+    if cc is None:
+        return None
+    os.makedirs("/tmp/refbuild", exist_ok=True)
+    cmd = [
+        cc, "-O3", "-march=native", "-DVERSION=\"1.5.2\"", "-DPTHREAD",
+        f"-I{src}/include", f"{src}/src/libbz3.c", f"{src}/src/main.c",
+        "-o", path, "-lpthread",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return path
+    except Exception:
+        return None
+
+
+def measure_ref_pool(corpus: bytes, block_mib: float, threads: int = 4):
+    """Round-trip the corpus through the reference binary's own pthread
+    pool (`-b block -j threads`), same corpus and block size as the
+    primary engine — the honest pool-vs-pool comparison
+    (reference fan-out: src/libbz3.c:845-870)."""
+    import subprocess
+    import tempfile
+
+    refbin = _ref_binary()
+    if refbin is None:
+        return None
+    with tempfile.TemporaryDirectory() as d:
+        raw = os.path.join(d, "c.bin")
+        enc = os.path.join(d, "c.bz3")
+        dec = os.path.join(d, "c.out")
+        with open(raw, "wb") as f:
+            f.write(corpus)
+        n = len(corpus) / (1 << 20)
+        best_e = best_d = float("inf")
+        for _ in range(2):
+            for p in (enc, dec):
+                if os.path.exists(p):
+                    os.unlink(p)
+            t0 = time.perf_counter()
+            subprocess.run(
+                [refbin, "-e", "-b", str(int(block_mib)), "-j", str(threads),
+                 "-c", raw], stdout=open(enc, "wb"), check=True)
+            t1 = time.perf_counter()
+            subprocess.run(
+                [refbin, "-d", "-j", str(threads), "-c", enc],
+                stdout=open(dec, "wb"), check=True)
+            t2 = time.perf_counter()
+            best_e = min(best_e, t1 - t0)
+            best_d = min(best_d, t2 - t1)
+        with open(dec, "rb") as f:
+            assert f.read() == corpus, "reference round-trip mismatch"
+        return {
+            "rt_MiBs": round(n / (best_e + best_d), 4),
+            "encode_MiBs": round(n / best_e, 4),
+            "decode_MiBs": round(n / best_d, 4),
+            "threads": threads,
+        }
+
+
 def run_engine(engine, corpus: bytes, block_size: int, reps: int = 1):
     """Round-trip `corpus` through `engine`; returns a metrics dict.
 
@@ -107,11 +185,12 @@ def main():
     size_mib = float(os.environ.get("BENCH_MIB", "128"))
     block_mib = float(os.environ.get("BENCH_BLOCK_MIB", "16"))
     engine_name = os.environ.get("BENCH_ENGINE", "native")
-    dev_mib = float(os.environ.get("BENCH_DEVICE_MIB", "16"))
+    dev_mib = float(os.environ.get("BENCH_DEVICE_MIB", "32"))
     dev_block_mib = float(os.environ.get("BENCH_DEVICE_BLOCK_MIB", "1"))
+    dev_b16_mib = float(os.environ.get("BENCH_DEVICE_B16_MIB", "128"))
     with_device = os.environ.get("BENCH_DEVICE", "1") != "0"
     with_device_b16 = os.environ.get("BENCH_DEVICE_B16", "1") == "1"
-    with_sharded = os.environ.get("BENCH_SHARDED", "0") == "1"
+    with_sharded = os.environ.get("BENCH_SHARDED", "1") == "1"
 
     from bzip3_tpu.engines import get_engine
 
@@ -150,13 +229,28 @@ def main():
     # ---- primary (host) engine first --------------------------------
     if engine_name != "device":
         engine = get_engine(engine_name)
+        corpus = make_corpus(int(size_mib * (1 << 20)))
         primary = run_engine(
             engine,
-            make_corpus(int(size_mib * (1 << 20))),
+            corpus,
             int(block_mib * (1 << 20)),
             reps=int(os.environ.get("BENCH_REPS", "2")),
         )
         primary_block = block_mib
+        # Live pool-vs-pool reference measurement on the same corpus —
+        # the honest headline comparison (the published 9.78 MiB/s
+        # baseline is SINGLE-thread).
+        if os.environ.get("BENCH_REF", "1") == "1":
+            try:
+                ref = measure_ref_pool(corpus, block_mib)
+                if ref is not None:
+                    result["ref_pool_rt_MiBs"] = ref["rt_MiBs"]
+                    result["ref_pool_encode_MiBs"] = ref["encode_MiBs"]
+                    result["ref_pool_decode_MiBs"] = ref["decode_MiBs"]
+                    result["ref_pool_threads"] = ref["threads"]
+            except Exception as exc:
+                result["ref_pool_error"] = f"{type(exc).__name__}: {exc}"[:120]
+        del corpus
 
     # ---- device engine (the TPU pipeline) ---------------------------
     if with_device or engine_name in ("device", "sharded"):
@@ -170,8 +264,11 @@ def main():
                 reps=int(os.environ.get("BENCH_DEVICE_REPS", "3")),
             )
             if with_device_b16:
+                # LANE-FILLED `-b 16`: a batch of 16 MiB blocks (not a
+                # single block starving the CM kernel's lane group) —
+                # the honest number for the north-star config.
                 device_b16_stats = run_engine(
-                    dev, make_corpus(16 << 20), 16 << 20
+                    dev, make_corpus(int(dev_b16_mib) << 20), 16 << 20
                 )
             if os.environ.get("BENCH_HYBRID", "0") == "1":
                 # Off by default: at bench scale the device pipeline's
@@ -224,6 +321,7 @@ def _finalize(
             "value": primary["rt_MiBs"],
             "unit": "MiB/s",
             "vs_baseline": round(primary["rt_MiBs"] / baseline, 4),
+            "baseline_mode": "published_single_thread_9.78MiBs",
             "encode_MiBs": primary["encode_MiBs"],
             "decode_MiBs": primary["decode_MiBs"],
             "ratio": primary["ratio"],
@@ -231,6 +329,12 @@ def _finalize(
             "engine": engine_name,
         }
     )
+    if "ref_pool_rt_MiBs" in result and result["ref_pool_rt_MiBs"]:
+        # pool-vs-pool: our engine's pool against the reference's own
+        # pthread pool, measured live on the same corpus/box.
+        result["vs_ref_pool"] = round(
+            primary["rt_MiBs"] / result["ref_pool_rt_MiBs"], 4
+        )
     if device_stats is not None:
         result.update(
             {
@@ -249,6 +353,10 @@ def _finalize(
                 "device_b16_rt_MiBs": device_b16_stats["rt_MiBs"],
                 "device_b16_encode_MiBs": device_b16_stats["encode_MiBs"],
                 "device_b16_decode_MiBs": device_b16_stats["decode_MiBs"],
+                "device_b16_corpus_MiB": device_b16_stats["corpus_MiB"],
+                "device_b16_vs_baseline": round(
+                    device_b16_stats["rt_MiBs"] / baseline, 4
+                ),
             }
         )
     if partial:

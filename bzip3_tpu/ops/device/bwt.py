@@ -31,21 +31,32 @@ import jax
 import jax.numpy as jnp
 
 
-def _dense_ranks2(key1: jnp.ndarray, key2: jnp.ndarray, pos: jnp.ndarray):
-    """Dense ranks of (key1, key2) pairs along the last axis."""
-    k_dim, n = key1.shape
-    s1, s2, sp = jax.lax.sort((key1, key2, pos), num_keys=2, is_stable=True)
-    new_group = jnp.concatenate(
-        [
-            jnp.zeros((k_dim, 1), jnp.int32),
-            ((s1[:, 1:] != s1[:, :-1]) | (s2[:, 1:] != s2[:, :-1])).astype(jnp.int32),
-        ],
-        axis=1,
+def _segstart_ranks(keys, pos):
+    """Segment-start ranks of key tuples along the last axis.
+
+    rank[i] = sorted index of the FIRST element of i's equal-key group
+    (order-preserving with gaps).  Unlike dense ranks, these refine in
+    place: splitting a group reassigns ranks only within [start, end),
+    so resolved positions keep their rank forever — the property the
+    compacted rounds below rely on.  Also returns the per-row count of
+    UNRESOLVED positions (group size > 1)."""
+    k_dim, n = keys[0].shape
+    s = jax.lax.sort((*keys, pos), num_keys=len(keys), is_stable=True)
+    sorted_keys, sp = s[:-1], s[-1]
+    change = sorted_keys[0][:, 1:] != sorted_keys[0][:, :-1]
+    for a in sorted_keys[1:]:
+        change = change | (a[:, 1:] != a[:, :-1])
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (k_dim, n))
+    true1 = jnp.ones((k_dim, 1), bool)
+    is_start = jnp.concatenate([true1, change], axis=1)
+    is_start_next = jnp.concatenate([change, true1], axis=1)
+    segstart = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, iota, 0), axis=1
     )
-    ranks_sorted = jnp.cumsum(new_group, axis=1)
     bidx = jnp.arange(k_dim)[:, None]
-    rank = jnp.zeros((k_dim, n), jnp.int32).at[bidx, sp].set(ranks_sorted)
-    return rank
+    rank = jnp.zeros((k_dim, n), jnp.int32).at[bidx, sp].set(segstart)
+    unresolved = jnp.sum(~(is_start & is_start_next), axis=1).astype(jnp.int32)
+    return rank, unresolved
 
 
 @jax.jit
@@ -75,16 +86,27 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
     real = pos < lens
     key_a = jnp.where(real, (sym(0) << 9) | sym(1), padkey)
     key_b = jnp.where(real, (sym(2) << 9) | sym(3), padkey)
-    rank = _dense_ranks2(key_a, key_b, pos)
-
-    def cond(carry):
-        rank, k, done = carry
-        return jnp.logical_and(jnp.logical_not(done), k < n)
+    rank, unres = _segstart_ranks((key_a, key_b), pos)
+    bidx = jnp.arange(k_dim)[:, None]
 
     # stride < 2 would never refine ranks (infinite while_loop).
     stride = max(2, int(os.environ.get("BZ3_TPU_BWT_STRIDE", "4")))
+    # Compacted-round capacity: once every row's unresolved-position
+    # count fits in C, refinement rounds sort only those positions
+    # ([K, C] keys) instead of the whole batch.  On text the initial
+    # 4-symbol ranks plus ONE full stride-4 round resolve all but the
+    # repeated-phrase tail, so the remaining log_4 rounds cost ~C/N of
+    # a full sort each — which also neutralizes slowest-row gating
+    # (extra rounds forced by one hard row are nearly free).  Env
+    # BZ3_TPU_BWT_COMPACT is the N/C divisor (0 disables).
+    div = int(os.environ.get("BZ3_TPU_BWT_COMPACT", "4"))
+    cap = min(n, max(128, n // div)) if div > 0 else 0
 
-    def body(carry):
+    def cond_full(carry):
+        rank, k, unres = carry
+        return (unres.max() > cap) & (k < n)
+
+    def body_full(carry):
         rank, k, _ = carry
 
         # Generalized doubling with STRIDE s (Larsson–Sadakane
@@ -102,24 +124,75 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
             )
 
         rks = [rank] + [rank_at(i * k) for i in range(1, stride)]
-        *_, order = jax.lax.sort(
-            (*rks, pos), num_keys=stride, is_stable=True
-        )
-        ords = [jnp.take_along_axis(a, order, axis=1) for a in rks]
-        changed = ords[0][:, 1:] != ords[0][:, :-1]
-        for a in ords[1:]:
-            changed = changed | (a[:, 1:] != a[:, :-1])
-        new_group = jnp.concatenate(
-            [jnp.zeros((k_dim, 1), jnp.int32), changed.astype(jnp.int32)], axis=1
-        )
-        ranks_sorted = jnp.cumsum(new_group, axis=1)
-        bidx = jnp.arange(k_dim)[:, None]
-        new_rank = jnp.zeros((k_dim, n), jnp.int32).at[bidx, order].set(ranks_sorted)
-        done = jnp.all(ranks_sorted[:, -1] == n - 1)
-        return new_rank, k * stride, done
+        new_rank, unres = _segstart_ranks(rks, pos)
+        return new_rank, k * stride, unres
 
-    init_done = jnp.all(rank.max(axis=1) == n - 1)
-    rank, _, _ = jax.lax.while_loop(cond, body, (rank, jnp.int32(4), init_done))
+    rank, k_reached, unres = jax.lax.while_loop(
+        cond_full, body_full, (rank, jnp.int32(4), unres)
+    )
+
+    if cap > 0:
+        # ---- compacted refinement rounds --------------------------------
+        # Gather the (<= cap per row) unresolved positions once; their
+        # segments are wholly contained in the compacted set (a group is
+        # either all-resolved or all-unresolved), so in-segment
+        # refinement is exact: new_rank = segment_start_rank + offset of
+        # the sub-group's first entry within the sorted segment.
+        cnt = jnp.zeros((k_dim, n), jnp.int32).at[bidx, rank].add(1)
+        unresolved = jnp.take_along_axis(cnt, rank, axis=1) > 1
+        slot = jnp.cumsum(unresolved.astype(jnp.int32), axis=1) - 1
+        comp = (
+            jnp.full((k_dim, cap), n, jnp.int32)
+            .at[bidx, jnp.where(unresolved, jnp.minimum(slot, cap), cap)]
+            .set(pos, mode="drop")
+        )
+        iota_c = jnp.broadcast_to(jnp.arange(cap, dtype=jnp.int32), (k_dim, cap))
+        pad = comp >= n
+
+        def cond_comp(carry):
+            rank, k, done = carry
+            return (~done) & (k < n)
+
+        def body_comp(carry):
+            rank, k, _ = carry
+            r0 = jnp.take_along_axis(rank, jnp.minimum(comp, n - 1), axis=1)
+            # pads get unique keys ABOVE every real rank (< n): they sort
+            # to the tail as singletons and never affect refinement.
+            r0 = jnp.where(pad, n + iota_c, r0)
+
+            def rank_at(off):
+                idxp = comp + off
+                v = jnp.take_along_axis(
+                    rank, jnp.clip(idxp, 0, n - 1), axis=1
+                )
+                return jnp.where(pad | (idxp >= n), jnp.int32(-1), v)
+
+            keys = [r0] + [rank_at(i * k) for i in range(1, stride)]
+            s = jax.lax.sort((*keys, comp), num_keys=stride, is_stable=True)
+            sk, comp_s = s[:-1], s[-1]
+            seg_change = sk[0][:, 1:] != sk[0][:, :-1]
+            sub_change = seg_change
+            for a in sk[1:]:
+                sub_change = sub_change | (a[:, 1:] != a[:, :-1])
+            true1 = jnp.ones((k_dim, 1), bool)
+            seg_start = jax.lax.associative_scan(
+                jnp.maximum,
+                jnp.where(jnp.concatenate([true1, seg_change], 1), iota_c, 0),
+                axis=1,
+            )
+            sub_start = jax.lax.associative_scan(
+                jnp.maximum,
+                jnp.where(jnp.concatenate([true1, sub_change], 1), iota_c, 0),
+                axis=1,
+            )
+            new_rank_s = sk[0] + (sub_start - seg_start)
+            rank2 = rank.at[bidx, comp_s].set(new_rank_s, mode="drop")
+            done = jnp.all(sub_change)
+            return rank2, k * stride, done
+
+        rank, _, _ = jax.lax.while_loop(
+            cond_comp, body_comp, (rank, k_reached, unres.max() == 0)
+        )
 
     # SA[r] = position with rank r.
     _, sa = jax.lax.sort((rank, pos), num_keys=1, is_stable=True)

@@ -99,14 +99,15 @@ def sharded_decode_core(mesh: Mesh, out_width: int):
 def sharded_pipeline(block_size: int, mesh: Mesh | None = None):
     """A DevicePipeline whose device cores run shard_map'd over a mesh.
 
-    The caller must submit batches whose size is a multiple of the mesh
-    size (pad with empty blocks).
+    Wave padding keeps every core call a multiple of the mesh size
+    (``wave_multiple``), so callers may submit any batch size.
     """
     from ..pipeline import DevicePipeline
 
     if mesh is None:
         mesh = make_mesh()
     pipe = DevicePipeline(block_size)
+    pipe.wave_multiple = mesh.devices.size
     enc = sharded_encode_core(mesh)
     dec_cache = {}
 

@@ -2,17 +2,27 @@
 
 The block is the unit of data parallelism (as in the reference's
 bz3_encode_blocks pthread fan-out, src/libbz3.c:845-870).  A batch of K
-blocks is padded into fixed [K, N] arrays and runs:
+blocks is split into fixed-shape WAVES of W rows; each wave runs:
 
   encode:  crc32_batch ∥ (host RLE/LZP pre-pass) → bwt_forward_batch
            → cm_encode_batch                        (one jitted program)
   decode:  cm_decode_batch → bwt_inverse_batch      (one jitted program)
-           → host un-LZP/un-RLE → crc32_batch verify
+           → host un-LZP/un-RLE → CRC verify
+
+Waves exist for OVERLAP, not for memory alone: JAX dispatch is async,
+so wave i+1's host pre-pass, padding and H2D upload run while wave i
+computes on device, and wave i's D2H pull (started with
+``copy_to_host_async`` the moment its lengths resolve) streams back
+while later waves compute.  On the measured tunnel (D2H ~15 MB/s,
+PERF_NOTES §3) hiding the pulls is worth ~20% of decode wall.
 
 Host pre/post passes handle the byte-serial dictionary stages until
 their Pallas kernels land; everything O(n log n) or state-heavy runs on
-device.  Multi-chip scaling shards the K axis over a mesh — see
+device.  Multi-chip scaling shards the wave axis over a mesh — see
 bzip3_tpu.parallel.sharding.
+
+Set BZ3_TPU_PROFILE=1 to collect per-stage wall times (printable via
+``DevicePipeline.timer.summary()``; bench.py prints it).
 """
 
 from __future__ import annotations
@@ -33,6 +43,7 @@ from .ops.device import crc32_batch_auto as crc32_batch
 from .ops.device.bwt import bwt_forward_batch, bwt_inverse_batch
 from .ops.device.cm import cm_encode_batch, cm_decode_batch
 from .ops.device.cm_parallel import cm_encode_parallel_batch
+from .utils.profiling import StageTimer
 
 # The parallel CM encoder materializes ~50 bytes of event state per
 # input byte; above this block size fall back to the scan formulation.
@@ -49,6 +60,8 @@ def _cm_impl() -> str:
     if mode == "auto":
         return "pallas" if jax.default_backend() == "tpu" else "xla"
     return {"pallas": "pallas", "parallel": "xla", "scan": "scan"}.get(mode, "xla")
+
+
 # Host pre/post passes: prefer the native (C++) stage codecs, fall
 # back to the NumPy oracles when no toolchain is available.
 try:
@@ -59,12 +72,36 @@ except Exception:  # pragma: no cover - toolchain-less environments
     from .ops.ref.lzp import lzp_encode, lzp_decode
     from .ops.ref.rle import rle_encode, rle_decode
 
+# Host-side CRC32 for the decode-verify step.  The device crc32_batch
+# kernel stays in the encode core (it reads data already resident on
+# device); on decode the final bytes live on the HOST after un-LZP/RLE,
+# so verifying there avoids a padded re-upload + an extra device
+# dispatch per wave.  Native (SSE4.2 hardware CRC, ~7 GiB/s) preferred;
+# NumPy oracle otherwise.  BZ3_TPU_DEVICE_CRC_VERIFY=1 forces the old
+# device-batched verify (used by tests to pin kernel parity).
+try:
+    from .ops.native import crc32 as _host_crc32
+except Exception:  # pragma: no cover
+    from .ops.ref.crc32 import crc32 as _host_crc32
+
 _U32 = struct.Struct("<I")
 _S32 = struct.Struct("<i")
 
 
 def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
+
+
+def _bwt_row_groups(k: int, width: int) -> int:
+    """Rows per BWT sub-launch inside one jitted core program.
+
+    Large-width batches are split so each sort round's working set
+    stays within an HBM budget (the prefix-doubling sort materializes
+    ~5 int32 arrays of the batch shape, ops/device/bwt.py); small
+    widths run as one launch.  Static per shape — the python loop in
+    the traced core unrolls into sequential sorts in one program."""
+    budget = int(float(os.environ.get("BZ3_TPU_BWT_GROUP_MIB", "64")) * (1 << 20))
+    return max(1, min(k, budget // max(1, width)))
 
 
 @jax.jit
@@ -83,8 +120,18 @@ def encode_core(orig, orig_lens, cur, cur_lens):
     encoder, or payload length exceeding the padded width) — callers
     MUST re-encode those rows through another engine.
     """
+    k_dim, n = cur.shape
     crc = crc32_batch(orig, orig_lens)
-    u, idx = bwt_forward_batch(cur, cur_lens)
+    g = _bwt_row_groups(k_dim, n)
+    if g < k_dim:
+        parts = [
+            bwt_forward_batch(cur[s : s + g], cur_lens[s : s + g])
+            for s in range(0, k_dim, g)
+        ]
+        u = jnp.concatenate([p[0] for p in parts], axis=0)
+        idx = jnp.concatenate([p[1] for p in parts], axis=0)
+    else:
+        u, idx = bwt_forward_batch(cur, cur_lens)
     impl = _cm_impl()
     if impl == "pallas":
         from .ops.device.cm_pallas import cm_encode_pallas_batch
@@ -108,12 +155,25 @@ def decode_core(payload, payload_lens, sbb_lens, bwt_idx, out_width):
         u = cm_decode_pallas_batch(payload, payload_lens, sbb_lens, out_width)
     else:
         u = cm_decode_batch(payload, payload_lens, sbb_lens, out_width)
-    data = bwt_inverse_batch(u, sbb_lens, bwt_idx)
+    k_dim = u.shape[0]
+    g = _bwt_row_groups(k_dim, out_width)
+    if g < k_dim:
+        data = jnp.concatenate(
+            [
+                bwt_inverse_batch(
+                    u[s : s + g], sbb_lens[s : s + g], bwt_idx[s : s + g]
+                )
+                for s in range(0, k_dim, g)
+            ],
+            axis=0,
+        )
+    else:
+        data = bwt_inverse_batch(u, sbb_lens, bwt_idx)
     return data
 
 
-def _pad_batch(chunks: list[bytes], width: int):
-    k = len(chunks)
+def _pad_batch(chunks: list[bytes], width: int, rows: int | None = None):
+    k = rows if rows is not None else len(chunks)
     arr = np.zeros((k, width), dtype=np.uint8)
     lens = np.zeros(k, dtype=np.int32)
     for i, c in enumerate(chunks):
@@ -122,12 +182,23 @@ def _pad_batch(chunks: list[bytes], width: int):
     return jnp.asarray(arr), jnp.asarray(lens)
 
 
+def _start_d2h(arr):
+    """Begin an async device→host copy if the array supports it."""
+    try:
+        arr.copy_to_host_async()
+    except Exception:
+        pass
+    return arr
+
+
 class DevicePipeline:
     """Batched encoder/decoder bound to one block size.
 
     ``encode_core_fn`` / ``decode_core_fn`` may be overridden with
     sharded versions (see parallel.sharding.sharded_pipeline) — the
-    host-side framing is identical.
+    host-side framing and wave scheduling are identical.  Overriders
+    that need wave sizes in fixed multiples (a mesh axis) set
+    ``wave_multiple``.
     """
 
     def __init__(self, block_size: int, use_rle: bool = True, use_lzp: bool = True):
@@ -137,66 +208,128 @@ class DevicePipeline:
         self.use_lzp = use_lzp
         self.encode_core_fn = encode_core
         self.decode_core_fn = decode_core
+        self.wave_multiple = 1
+        self.timer = StageTimer()
+
+    # -- wave scheduling --------------------------------------------------
+
+    def _wave_size(self) -> int:
+        """Target rows per wave: fill the CM kernel's lane group, bounded
+        by an HBM budget for wide blocks.  Env BZ3_TPU_WAVE overrides."""
+        env = int(os.environ.get("BZ3_TPU_WAVE", "0"))
+        if env > 0:
+            w = env
+        else:
+            budget = int(float(os.environ.get("BZ3_TPU_WAVE_MIB", "128")) * (1 << 20))
+            w = max(8, min(32, budget // max(1, self.width)))
+        return max(self.wave_multiple, _round_up(w, self.wave_multiple))
+
+    def _wave_splits(self, k: int) -> list[tuple[int, int]]:
+        """[(count, padded_rows)] covering k blocks.  Full waves use the
+        wave size; the tail splits into power-of-two buckets so shape
+        recompiles stay bounded and zero-row padding stays < count."""
+        wave = self._wave_size()
+        out = []
+        i = 0
+        while i < k:
+            rem = k - i
+            if rem >= wave:
+                c = wave
+            else:
+                c = 1
+                while c * 2 <= rem:
+                    c *= 2
+            rows = max(self.wave_multiple, _round_up(c, self.wave_multiple))
+            out.append((min(c, rem), rows))
+            i += min(c, rem)
+        return out
 
     # -- encode ---------------------------------------------------------
 
     def encode_blocks(self, blocks: list[bytes]) -> list[bytes]:
         """Encode a batch of blocks into BZ3v1 block bytes (hdr+payload)."""
-        metas = []  # (model, lzp_size, rle_size, cur)
+        t = self.timer
         for data in blocks:
             if len(data) > self.block_size:
                 raise Bz3Error(BZ3_ERR_MALFORMED_HEADER, "block exceeds block size")
-            model, lzp_size, rle_size, cur = 0, -1, -1, data
-            if len(data) >= SMALL_BLOCK_THRESHOLD:
-                if self.use_rle:
-                    r = rle_encode(cur)
-                    if len(r) < len(cur):
-                        cur, rle_size, model = r, len(r), model | 4
-                if self.use_lzp:
-                    l = lzp_encode(cur)
-                    if l is not None and len(l) < len(cur):
-                        cur, lzp_size, model = l, len(l), model | 2
-            metas.append((model, lzp_size, rle_size, cur))
 
-        orig_arr, orig_lens = _pad_batch(blocks, self.width)
-        cur_arr, cur_lens = _pad_batch([m[3] for m in metas], self.width)
-        crc, idx, payload, plens, ok = self.encode_core_fn(
-            orig_arr, orig_lens, cur_arr, cur_lens
-        )
-        crc = np.asarray(crc)
-        idx = np.asarray(idx)
-        plens = np.asarray(plens)
-        ok = np.asarray(ok)
-        # Device->host through the accelerator tunnel runs ~15 MB/s
-        # (measured; H2D is ~400), so never pull the padded payload
-        # width: slice to the longest real payload on device first
-        # (compressed payloads are ~ratio * W, a 5-6x transfer cut).
-        max_len = min(int(plens.max(initial=0)), payload.shape[1])
-        payload = np.asarray(payload[:, :max_len])
+        # Phase A: per wave — host pre-pass, pad, async dispatch.
+        waves = []  # (start, count, metas, core outputs)
+        start = 0
+        for count, rows in self._wave_splits(len(blocks)):
+            chunk = blocks[start : start + count]
+            metas = []  # (model, lzp_size, rle_size, cur)
+            with t.stage("encode/host_prepass"):
+                for data in chunk:
+                    model, lzp_size, rle_size, cur = 0, -1, -1, data
+                    if len(data) >= SMALL_BLOCK_THRESHOLD:
+                        if self.use_rle:
+                            r = rle_encode(cur)
+                            if len(r) < len(cur):
+                                cur, rle_size, model = r, len(r), model | 4
+                        if self.use_lzp:
+                            l = lzp_encode(cur)
+                            if l is not None and len(l) < len(cur):
+                                cur, lzp_size, model = l, len(l), model | 2
+                    metas.append((model, lzp_size, rle_size, cur))
+            with t.stage("encode/pad_h2d"):
+                orig_arr, orig_lens = _pad_batch(chunk, self.width, rows)
+                cur_arr, cur_lens = _pad_batch(
+                    [m[3] for m in metas], self.width, rows
+                )
+            with t.stage("encode/dispatch"):
+                outs = self.encode_core_fn(orig_arr, orig_lens, cur_arr, cur_lens)
+            waves.append((start, count, metas, outs))
+            start += count
+
+        # Phase B: per wave — sync lengths, slice + start async D2H.
+        # The pull of wave i streams back while waves i+1.. compute.
+        pulled = []
+        for wstart, count, metas, (crc, idx, payload, plens, ok) in waves:
+            with t.stage("encode/sync_meta"):
+                crc = np.asarray(crc)
+                idx = np.asarray(idx)
+                plens_np = np.asarray(plens)
+                ok = np.asarray(ok)
+            with t.stage("encode/slice_payload"):
+                # Device->host through the accelerator tunnel runs
+                # ~15 MB/s (measured; H2D is ~400), so never pull the
+                # padded payload width: slice to the longest real
+                # payload on device first (a 5-6x transfer cut).
+                max_len = min(int(plens_np.max(initial=0)), payload.shape[1])
+                pay = _start_d2h(payload[:, :max_len])
+            pulled.append((wstart, count, metas, crc, idx, plens_np, ok, pay))
 
         out = []
-        for i, data in enumerate(blocks):
-            model, lzp_size, rle_size, _ = metas[i]
-            if len(data) < SMALL_BLOCK_THRESHOLD:
-                out.append(_U32.pack(int(crc[i])) + _S32.pack(-1) + data)
-                continue
-            if not bool(ok[i]):
-                # cm_parallel certification failure / emission overflow,
-                # or a payload exceeding the padded width: re-encode this
-                # block through the exact serial path (ops.ref) — slow,
-                # guaranteed, and byte-identical by the cross-engine
-                # parity contract (never silently emit a corrupt stream).
-                from .models.block_codec import encode_block
+        for wstart, count, metas, crc, idx, plens, ok, pay in pulled:
+            with t.stage("encode/d2h_payload"):
+                pay = np.asarray(pay)
+            with t.stage("encode/assemble"):
+                for i in range(count):
+                    data = blocks[wstart + i]
+                    model, lzp_size, rle_size, _ = metas[i]
+                    if len(data) < SMALL_BLOCK_THRESHOLD:
+                        out.append(_U32.pack(int(crc[i])) + _S32.pack(-1) + data)
+                        continue
+                    if not bool(ok[i]):
+                        # cm_parallel certification failure / emission
+                        # overflow, or a payload exceeding the padded
+                        # width: re-encode this block through the exact
+                        # serial path (ops.ref) — slow, guaranteed, and
+                        # byte-identical by the cross-engine parity
+                        # contract (never silently emit a corrupt
+                        # stream).
+                        from .models.block_codec import encode_block
 
-                out.append(encode_block(data))
-                continue
-            hdr = bytearray(_U32.pack(int(crc[i])) + _S32.pack(int(idx[i])))
-            hdr.append(model)
-            if model & 2:
-                hdr += _S32.pack(lzp_size)
-            if model & 4:
-                hdr += _S32.pack(rle_size)
-            out.append(bytes(hdr) + payload[i, : plens[i]].tobytes())
+                        out.append(encode_block(data))
+                        continue
+                    hdr = bytearray(_U32.pack(int(crc[i])) + _S32.pack(int(idx[i])))
+                    hdr.append(model)
+                    if model & 2:
+                        hdr += _S32.pack(lzp_size)
+                    if model & 4:
+                        hdr += _S32.pack(rle_size)
+                    out.append(bytes(hdr) + pay[i, : plens[i]].tobytes())
         return out
 
     # -- decode ---------------------------------------------------------
@@ -208,86 +341,120 @@ class DevicePipeline:
         (src/libbz3.c:656-809) via models.block_codec.parse_block_header
         plus the bound checks below.
         """
+        t = self.timer
         bnd = bound(self.block_size)
         headers = []
         payloads = []
         sbbs = []
         idxs = []
         literal = {}
-        for i, (block, orig_size) in enumerate(blocks):
-            if len(block) > bnd:
-                raise Bz3Error(BZ3_ERR_MALFORMED_HEADER)
-            hdr = parse_block_header(block)
-            if hdr.is_literal:
-                data = block[8:]
-                if len(data) > 64:
+        with t.stage("decode/parse_headers"):
+            for i, (block, orig_size) in enumerate(blocks):
+                if len(block) > bnd:
                     raise Bz3Error(BZ3_ERR_MALFORMED_HEADER)
-                literal[i] = (data, hdr.crc32)
+                hdr = parse_block_header(block)
+                if hdr.is_literal:
+                    data = block[8:]
+                    if len(data) > 64:
+                        raise Bz3Error(BZ3_ERR_MALFORMED_HEADER)
+                    literal[i] = (data, hdr.crc32)
+                    headers.append(hdr)
+                    payloads.append(b"")
+                    sbbs.append(0)
+                    idxs.append(0)
+                    continue
+                if (hdr.model & 2 and not (0 <= hdr.lzp_size <= bnd)) or (
+                    hdr.model & 4 and not (0 <= hdr.rle_size <= bnd)
+                ):
+                    raise Bz3Error(BZ3_ERR_MALFORMED_HEADER)
+                if orig_size > bnd or orig_size < 0:
+                    raise Bz3Error(BZ3_ERR_MALFORMED_HEADER)
+                if hdr.model & 2:
+                    sbb = hdr.lzp_size
+                elif hdr.model & 4:
+                    sbb = hdr.rle_size
+                else:
+                    sbb = orig_size
+                if hdr.bwt_idx > sbb or sbb > self.width:
+                    raise Bz3Error(BZ3_ERR_MALFORMED_HEADER)
                 headers.append(hdr)
-                payloads.append(b"")
-                sbbs.append(0)
-                idxs.append(0)
-                continue
-            if (hdr.model & 2 and not (0 <= hdr.lzp_size <= bnd)) or (
-                hdr.model & 4 and not (0 <= hdr.rle_size <= bnd)
-            ):
-                raise Bz3Error(BZ3_ERR_MALFORMED_HEADER)
-            if orig_size > bnd or orig_size < 0:
-                raise Bz3Error(BZ3_ERR_MALFORMED_HEADER)
-            if hdr.model & 2:
-                sbb = hdr.lzp_size
-            elif hdr.model & 4:
-                sbb = hdr.rle_size
-            else:
-                sbb = orig_size
-            if hdr.bwt_idx > sbb or sbb > self.width:
-                raise Bz3Error(BZ3_ERR_MALFORMED_HEADER)
-            headers.append(hdr)
-            payloads.append(block[hdr.header_size() :])
-            sbbs.append(sbb)
-            idxs.append(hdr.bwt_idx)
+                payloads.append(block[hdr.header_size() :])
+                sbbs.append(sbb)
+                idxs.append(hdr.bwt_idx)
 
-        # Bucket the payload width (power of two) to bound recompiles.
+        # Bucket the payload width (power of two, shared across waves)
+        # to bound recompiles.
         pw = 64
         while pw < max(map(len, payloads), default=1):
             pw <<= 1
-        pay_arr, pay_lens = _pad_batch(payloads, pw)
-        data = self.decode_core_fn(
-            pay_arr,
-            pay_lens,
-            jnp.asarray(np.array(sbbs, np.int32)),
-            jnp.asarray(np.array(idxs, np.int32)),
-            self.width,
-        )
-        # Same slow-D2H mitigation as encode: rows only hold sbb bytes
-        # (the post-LZP/RLE size, typically well under the block width).
-        data = np.asarray(data[:, : max(sbbs, default=0)])
 
-        finals = []
-        for i, (block, orig_size) in enumerate(blocks):
-            if i in literal:
-                d, want = literal[i]
-                finals.append(d)
-                continue
-            hdr = headers[i]
-            cur = data[i, : sbbs[i]].tobytes()
-            if hdr.model & 2:
-                cur = lzp_decode(cur, bnd)
-                if cur is None:
-                    raise Bz3Error(BZ3_ERR_CRC)
-            if hdr.model & 4:
-                cur = rle_decode(cur, orig_size)
-                if cur is None:
-                    raise Bz3Error(BZ3_ERR_CRC)
-            if len(cur) > self.block_size:
-                raise Bz3Error(BZ3_ERR_MALFORMED_HEADER)
-            finals.append(cur)
+        # Phase A: dispatch every wave, starting the async D2H pull the
+        # moment the (host-known) real row extent is computed.
+        waves = []
+        start = 0
+        for count, rows in self._wave_splits(len(blocks)):
+            sl = slice(start, start + count)
+            with t.stage("decode/pad_h2d"):
+                pay_arr, pay_lens = _pad_batch(payloads[sl], pw, rows)
+                sbb_w = np.zeros(rows, np.int32)
+                sbb_w[:count] = sbbs[sl]
+                idx_w = np.zeros(rows, np.int32)
+                idx_w[:count] = idxs[sl]
+            with t.stage("decode/dispatch"):
+                data = self.decode_core_fn(
+                    pay_arr,
+                    pay_lens,
+                    jnp.asarray(sbb_w),
+                    jnp.asarray(idx_w),
+                    self.width,
+                )
+                # Rows only hold sbb bytes (the post-LZP/RLE size,
+                # typically well under the block width) — slice on
+                # device before the pull, then stream it back while
+                # later waves compute.
+                data = _start_d2h(data[:count, : max(1, max(sbbs[sl], default=1))])
+            waves.append((start, count, data))
+            start += count
 
-        # Batched CRC verify of every decoded block (incl. literals).
-        f_arr, f_lens = _pad_batch(finals, self.width)
-        crcs = np.asarray(crc32_batch(f_arr, f_lens))
-        for i, (block, _) in enumerate(blocks):
-            want = literal[i][1] if i in literal else headers[i].crc32
-            if int(crcs[i]) != want:
-                raise Bz3Error(BZ3_ERR_CRC)
+        # Phase B: per wave — pull, host post-passes, CRC verify.
+        finals = [b""] * len(blocks)
+        device_verify = os.environ.get("BZ3_TPU_DEVICE_CRC_VERIFY", "0") == "1"
+        for wstart, count, data in waves:
+            with t.stage("decode/d2h"):
+                data = np.asarray(data)
+            with t.stage("decode/host_post"):
+                for i in range(wstart, wstart + count):
+                    if i in literal:
+                        finals[i] = literal[i][0]
+                        continue
+                    hdr = headers[i]
+                    cur = data[i - wstart, : sbbs[i]].tobytes()
+                    if hdr.model & 2:
+                        cur = lzp_decode(cur, bnd)
+                        if cur is None:
+                            raise Bz3Error(BZ3_ERR_CRC)
+                    if hdr.model & 4:
+                        cur = rle_decode(cur, blocks[i][1])
+                        if cur is None:
+                            raise Bz3Error(BZ3_ERR_CRC)
+                    if len(cur) > self.block_size:
+                        raise Bz3Error(BZ3_ERR_MALFORMED_HEADER)
+                    finals[i] = cur
+            if not device_verify:
+                with t.stage("decode/crc_verify"):
+                    for i in range(wstart, wstart + count):
+                        want = literal[i][1] if i in literal else headers[i].crc32
+                        if int(_host_crc32(finals[i])) != want:
+                            raise Bz3Error(BZ3_ERR_CRC)
+
+        if device_verify:
+            # Device-batched verify of every decoded block (incl.
+            # literals) — pins the device CRC kernel's parity.
+            with t.stage("decode/crc_verify"):
+                f_arr, f_lens = _pad_batch(finals, self.width)
+                crcs = np.asarray(crc32_batch(f_arr, f_lens))
+                for i in range(len(blocks)):
+                    want = literal[i][1] if i in literal else headers[i].crc32
+                    if int(crcs[i]) != want:
+                        raise Bz3Error(BZ3_ERR_CRC)
         return finals
