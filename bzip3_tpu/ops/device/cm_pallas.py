@@ -427,37 +427,66 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True):
         code = zeros
         ip = zeros
         base = zeros
-        w0, w1, w2 = _win_gather(win, lanes, base)
+        col128i = jax.lax.broadcasted_iota(I32, (lanes, 128), 1)
 
-        def read_byte(w0, w1, w2, base, ipv):
-            b = _gather3(w0, w1, w2, ipv - base)
+        def _pack_words(base):
+            """Packed 4-byte lookahead words from the 384-byte carry:
+            p_c[off] = bytes [base + c*128 + off, +4) big-endian, with
+            bytes at/past plen packed as 0xFF (the per-bit consumer
+            subtracts the exhaustion correction — see pref note below).
+            One [L,128] gather then yields all four lookahead bytes of
+            a dynamic position at once, replacing four serial-summed
+            byte gathers per bit with shifts of one word."""
+            w0, w1, w2 = _win_gather(win, lanes, base)
+            masked = []
+            for part, w in enumerate((w0, w1, w2)):
+                abs_pos = base + part * 128 + col128i
+                masked.append(jnp.where(abs_pos < plen, w & 0xFF, jnp.int32(0xFF)))
+            m0, m1, m2 = masked
+            ext = jnp.int32(0xFF)  # beyond-window bytes are never read
+
+            def shifted(a, b_next, j):
+                # left-shift by j along the 128-lane axis == circular
+                # roll by 128-j (pltpu.roll requires shift >= 0)
+                r = pltpu.roll(a, 128 - j, 1)
+                return jnp.where(
+                    col128i >= 128 - j, pltpu.roll(b_next, 128 - j, 1), r
+                )
+
+            def pack(a, b_next):
+                s1 = shifted(a, b_next, 1)
+                s2 = shifted(a, b_next, 2)
+                s3 = shifted(a, b_next, 3)
+                return (a << 24) | (s1 << 16) | (s2 << 8) | s3
+
+            p0 = pack(m0, m1)
+            p1 = pack(m1, m2)
+            p2 = pack(m2, jnp.full((lanes, 128), ext, I32))
+            return p0, p1, p2
+
+        def read_byte(p0, p1, p2, base, ipv):
+            b = _srl(_gather3(p0, p1, p2, ipv - base), 24)
             return jnp.where(ipv < plen, b, jnp.int32(-1))
 
+        pk0, pk1, pk2 = _pack_words(base)
         for _ in range(4):
-            code = (code << 8) + read_byte(w0, w1, w2, base, ip)
+            code = (code << 8) + read_byte(pk0, pk1, pk2, base, ip)
             ip = ip + 1
 
         scal[3] = jnp.full((lanes, 128), 2048, I32)  # staged-high (absolute)
-
-        def prefetch4(w0, w1, w2, base, ipv):
-            """next4 input bytes + their 5 prefix sums (exhaustion uses
-            the reference's (code<<8) - 1 semantics per byte)."""
-            v = [read_byte(w0, w1, w2, base, ipv + i) for i in range(4)]
-            s0 = zeros
-            s1 = v[0]
-            s2 = (s1 << 8) + v[1]
-            s3 = (s2 << 8) + v[2]
-            s4 = (s3 << 8) + v[3]
-            return (s0, s1, s2, s3, s4)
-
-        pref = prefetch4(w0, w1, w2, base, ip)
 
         c1v = zeros
         c2v = zeros
         runv = zeros
 
+        # Exhaustion corrections: the packed lookahead holds 0xFF for
+        # bytes at/past plen, but the reference's refill semantics is
+        # (code << 8) - 1 per exhausted byte; packing e trailing
+        # exhausted bytes as 0xFF overshoots by sum(256^t, t=1..e).
+        _CORR = (0, 0x100, 0x10100, 0x1010100, 0x01010100)
+
         def body(i, carry):
-            (low, high, code, ip, base, w0, w1, w2, pref,
+            (low, high, code, ip, base, pk0, pk1, pk2,
              c1v, c2v, runv, obuf) = carry
             active = i < olen
             runv = jnp.where(active, jnp.where(c1v == c2v, runv + 1, 0), runv)
@@ -546,6 +575,28 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True):
             ctx = jnp.ones((lanes, 128), I32)
             sh_cur, fe_cur = fe_single(ctx, 0)
             rowa_ups = []
+            # per-bit stream lookahead: ONE packed-word gather at the
+            # (bit-start-known) ip yields the next 4 bytes; the five
+            # k-candidates adj[k] (k bytes consumed, exhaustion-
+            # corrected) are all shifts/subtracts of it — off the
+            # critical path, same 3-select-by-k chain as before.
+            def refill_candidates(ip):
+                # NB: pk* names are deliberately distinct from the
+                # front-end counter names p0/p1 the bit loop rebinds.
+                w = _gather3(pk0, pk1, pk2, ip - base)
+                rem = plen - ip
+                adj = [zeros]
+                for kk in range(1, 5):
+                    s = _srl(w, 8 * (4 - kk)) if kk < 4 else w
+                    e = kk - jnp.clip(rem, 0, kk)
+                    c = jnp.where(e == 1, jnp.int32(_CORR[1]), 0)
+                    c = jnp.where(e == 2, jnp.int32(_CORR[2]), c)
+                    if kk >= 3:
+                        c = jnp.where(e == 3, jnp.int32(_CORR[3]), c)
+                    if kk >= 4:
+                        c = jnp.where(e == 4, jnp.int32(_CORR[4]), c)
+                    adj.append(s - c)
+                return adj
             # bit 0's range split computed directly; with spec_mul,
             # later bits get a SPECULATED multiply: the post-renorm
             # range is (d+1)<<8k - 1 for d = high-low before the shift,
@@ -555,6 +606,7 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True):
             # earlier 5x-multiply form compiled superlinearly.
             if spec_mul:
                 step = _mul_shift18_i32(high - low, fe_cur[0])
+            adj = refill_candidates(ip)
             for t in range(8):
                 if t < 7:
                     # Both candidates' C2 indices lie in one 52-entry
@@ -589,16 +641,15 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True):
                     step = jnp.where(k == 4, m4, step)
                 low = _shl8k(low, k)
                 high = _shl8k(high, k) | _mask8k(k)
-                s0, s1, s2, s3, s4 = pref
-                sk = jnp.where(k == 0, s0, s1)
-                sk = jnp.where(k == 2, s2, sk)
-                sk = jnp.where(k == 3, s3, sk)
-                sk = jnp.where(k == 4, s4, sk)
+                sk = jnp.where(k == 0, adj[0], adj[1])
+                sk = jnp.where(k == 2, adj[2], sk)
+                sk = jnp.where(k == 3, adj[3], sk)
+                sk = jnp.where(k == 4, adj[4], sk)
                 code = _shl8k(code, k) + sk
                 ip = ip + k
-                # prefetch the next 4 stream bytes (consumed next bit)
-                if 'D' not in _ab:
-                    pref = prefetch4(w0, w1, w2, base, ip)
+                # lookahead for the next bit (consumed next iteration)
+                if t < 7:
+                    adj = refill_candidates(ip)
                 # bit-private table updates, off the critical path
                 u0, u1, v1, v2 = _upd(bit, p0, p1, x1, x2)
                 p0w, p0wi, p1w, p1wi = sh_cur
@@ -694,22 +745,22 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True):
                             ).wait()
                     scal[3] = fh + 1024 * need_dma.astype(I32)
 
-            def _refresh(base, w0, w1, w2):
+            def _refresh(base, pk0, pk1, pk2):
                 b2 = base + 128 * ((ip - base) >= 128).astype(I32)
-                n0, n1, n2 = _win_gather(win, lanes, b2)
+                n0, n1, n2 = _pack_words(b2)
                 return b2, n0, n1, n2
 
-            base, w0, w1, w2 = jax.lax.cond(
+            base, pk0, pk1, pk2 = jax.lax.cond(
                 (i & 3) == 3,
                 _refresh,
-                lambda base, w0, w1, w2: (base, w0, w1, w2),
-                base, w0, w1, w2,
+                lambda base, pk0, pk1, pk2: (base, pk0, pk1, pk2),
+                base, pk0, pk1, pk2,
             )
 
-            return (low, high, code, ip, base, w0, w1, w2, pref,
+            return (low, high, code, ip, base, pk0, pk1, pk2,
                     c1v, c2v, runv, obuf)
 
-        carry = (low, high, code, ip, base, w0, w1, w2, pref,
+        carry = (low, high, code, ip, base, pk0, pk1, pk2,
                  c1v, c2v, runv, zeros)
         carry = jax.lax.fori_loop(0, n_steps, body, carry)
 
@@ -775,13 +826,14 @@ def _decode_call(payload, plens, olens, lanes, n_steps, in_chunks, interpret, sp
     return out
 
 
-def _pick_lanes(k_dim: int, lanes: int | None, cap_default: int = 16) -> int:
+def _pick_lanes(k_dim: int, lanes: int | None, cap_default: int = 32) -> int:
     """Default lane count: smallest power of two >= k_dim, clamped to
-    [8, BZ3_TPU_CM_LANES (default per direction)].  Measured on chip
-    (packed kernel, 64 KiB/lane): decode 3.26/4.86/5.11 MB/s and
-    encode 4.86/5.93/6.94 at L=8/16/32 — decode knees at 16 lanes but
-    encode keeps scaling to 32 (+17%), and small batches shouldn't pay
-    the wider kernel's 1.34x per-step cost."""
+    [8, BZ3_TPU_CM_LANES (default 32)].  Measured on chip (packed
+    kernel, 64 KiB/lane): decode 3.26/4.86/5.11 MB/s and encode
+    4.86/5.93/6.94 at L=8/16/32 — both directions peak at 32 of the
+    measured points (VMEM fits 32-48, PERF_NOTES §5), and small batches
+    shouldn't pay the wider kernel's per-step cost (lanes only grow to
+    cover the actual batch)."""
     if lanes is not None:
         return lanes
     cap = max(8, int(os.environ.get("BZ3_TPU_CM_LANES", str(cap_default))))
