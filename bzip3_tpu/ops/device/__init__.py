@@ -14,9 +14,13 @@ on device.  The scalar engine pads each block to a bucketed shape to
 bound recompilation; the batched pipeline in ``bzip3_tpu.pipeline`` is
 the intended high-throughput path.
 
-LZP and RLE currently delegate to the host implementations — LZP is a
-byte-serial hash-dictionary pass that belongs to the host runtime until
-the Pallas in-VMEM kernel lands; see SURVEY.md §7.2.
+All four stage codecs have device implementations: LZP runs as a
+scalar-unit Pallas state machine (lzp_pallas.py, VMEM-resident LUT and
+block) and RLE as batched XLA kernels (rle.py); the pipeline chains
+them on device under BZ3_TPU_DEVICE_PREPASS=1 (pipeline.encode_core_full).
+The single-block convenience wrappers below keep the host oracle for
+LZP (the batched kernel is the device path; a per-block host call is
+what the scalar engine callers want).
 """
 
 import numpy as np
@@ -37,7 +41,8 @@ from .bwt import bwt_forward_batch, bwt_inverse_batch
 from .cm import cm_encode_batch, cm_decode_batch
 
 from .rle import rle_encode_batch, rle_decode_batch
-from ..ref.lzp import lzp_encode, lzp_decode  # host pass (see module docstring)
+from .lzp_pallas import lzp_encode_pallas_batch, lzp_decode_pallas_batch
+from ..ref.lzp import lzp_encode, lzp_decode  # per-block host wrapper (see docstring)
 
 __all__ = [
     "crc32_batch",

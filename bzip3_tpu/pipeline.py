@@ -104,6 +104,122 @@ def _bwt_row_groups(k: int, width: int) -> int:
     return max(1, min(k, budget // max(1, width)))
 
 
+def _device_prepass() -> bool:
+    """BZ3_TPU_DEVICE_PREPASS=1 runs RLE and LZP on device too, making
+    the device engine self-contained across all four stage codecs
+    (reference stages src/libbz3.c:84-329): RLE as the batched XLA
+    kernels (ops/device/rle.py), LZP as the scalar-unit Pallas state
+    machine (ops/device/lzp_pallas.py).  Default off for throughput on
+    this box: the host pre-passes run at 213+ MB/s overlapped with
+    device compute, while the scalar-unit LZP is serial with the VPU
+    stages — the flag exists for self-contained/device-resident
+    deployments and for parity coverage, not as the fast path here."""
+    return os.environ.get("BZ3_TPU_DEVICE_PREPASS", "0") == "1"
+
+
+def _lzp_device_ok(width: int) -> bool:
+    """Scalar LZP kernel VMEM budget: LUT (1 MiB) + packed in + out."""
+    max_mib = float(os.environ.get("BZ3_TPU_LZP_MAX_MIB", "4"))
+    return width <= int(max_mib * (1 << 20))
+
+
+@jax.jit
+def encode_core_full(orig, orig_lens):
+    """Fully device-resident encode: CRC ∥ RLE → LZP → BWT → CM.
+
+    Returns (crc, idx, payload, plens, ok, model, lzp_lens, rle_lens);
+    the host only frames headers.  Stage gating mirrors
+    src/libbz3.c:609-621: each pre-pass is kept only if it shrinks.
+    """
+    from .ops.device.rle import rle_encode_batch
+    from .ops.device.lzp_pallas import lzp_encode_pallas_batch
+
+    k_dim, n = orig.shape
+    crc = crc32_batch(orig, orig_lens)
+    rle_out, rle_lens = rle_encode_batch(orig, orig_lens, out_width=n + 64)
+    use_rle = (rle_lens < orig_lens) & (orig_lens >= SMALL_BLOCK_THRESHOLD)
+    cur = jnp.where(use_rle[:, None], rle_out[:, :n], orig)
+    cur_lens = jnp.where(use_rle, rle_lens, orig_lens)
+    lzp_out, lzp_lens = lzp_encode_pallas_batch(cur, cur_lens)
+    use_lzp = (
+        (lzp_lens > 0)
+        & (lzp_lens < cur_lens)
+        & (orig_lens >= SMALL_BLOCK_THRESHOLD)
+    )
+    cur2 = jnp.where(use_lzp[:, None], lzp_out, cur)
+    cur2_lens = jnp.where(use_lzp, lzp_lens, cur_lens)
+
+    g = _bwt_row_groups(k_dim, n)
+    if g < k_dim:
+        parts = [
+            bwt_forward_batch(cur2[s : s + g], cur2_lens[s : s + g])
+            for s in range(0, k_dim, g)
+        ]
+        u = jnp.concatenate([p[0] for p in parts], axis=0)
+        idx = jnp.concatenate([p[1] for p in parts], axis=0)
+    else:
+        u, idx = bwt_forward_batch(cur2, cur2_lens)
+    if _cm_impl() == "pallas":
+        from .ops.device.cm_pallas import cm_encode_pallas_batch
+
+        payload, plens = cm_encode_pallas_batch(u, cur2_lens)
+        ok = plens <= payload.shape[1]
+    elif cur2.shape[1] <= _CM_PARALLEL_MAX_N:
+        payload, plens, ok = cm_encode_parallel_batch(u, cur2_lens)
+    else:
+        payload, plens = cm_encode_batch(u, cur2_lens)
+        ok = plens <= payload.shape[1]
+    model = use_lzp.astype(jnp.int32) * 2 + use_rle.astype(jnp.int32) * 4
+    return crc, idx, payload, plens, ok, model, lzp_lens, rle_lens
+
+
+@partial(jax.jit, static_argnames=("out_width",))
+def decode_core_full(payload, payload_lens, sbb_lens, bwt_idx, models, orig_sizes, out_width):
+    """Fully device-resident decode: CM → unBWT → unLZP → unRLE → CRC.
+
+    Returns (final [K, W], crc [K], stage_ok [K]); the host compares
+    crc against the header and applies the remaining hardening checks.
+    """
+    from .ops.device.rle import rle_decode_batch
+    from .ops.device.lzp_pallas import lzp_decode_pallas_batch
+
+    if _cm_impl() == "pallas":
+        from .ops.device.cm_pallas import cm_decode_pallas_batch
+
+        u = cm_decode_pallas_batch(payload, payload_lens, sbb_lens, out_width)
+    else:
+        u = cm_decode_batch(payload, payload_lens, sbb_lens, out_width)
+    k_dim = u.shape[0]
+    g = _bwt_row_groups(k_dim, out_width)
+    if g < k_dim:
+        data = jnp.concatenate(
+            [
+                bwt_inverse_batch(u[s : s + g], sbb_lens[s : s + g], bwt_idx[s : s + g])
+                for s in range(0, k_dim, g)
+            ],
+            axis=0,
+        )
+    else:
+        data = bwt_inverse_batch(u, sbb_lens, bwt_idx)
+
+    has_lzp = (models & 2) != 0
+    lzp_in = jnp.where(has_lzp, sbb_lens, 0)
+    lzp_out, lzp_olens = lzp_decode_pallas_batch(data, lzp_in, out_width)
+    cur = jnp.where(has_lzp[:, None], lzp_out[:, :out_width], data)
+    cur_lens = jnp.where(has_lzp, lzp_olens, sbb_lens)
+    lzp_ok = jnp.logical_not(has_lzp) | (lzp_olens >= 0)
+
+    has_rle = (models & 4) != 0
+    rle_out, rle_ok = rle_decode_batch(
+        cur, jnp.where(has_rle, jnp.maximum(cur_lens, 0), 0), orig_sizes, out_width
+    )
+    final = jnp.where(has_rle[:, None], rle_out, cur)
+    final_lens = jnp.where(has_rle, orig_sizes, cur_lens)
+    stage_ok = lzp_ok & (jnp.logical_not(has_rle) | rle_ok)
+    crc = crc32_batch(final, jnp.maximum(final_lens, 0))
+    return final, jnp.maximum(final_lens, 0), crc, stage_ok
+
+
 @jax.jit
 def encode_core(orig, orig_lens, cur, cur_lens):
     """Device encode stages for a [K, N] batch.
@@ -211,6 +327,15 @@ class DevicePipeline:
         self.wave_multiple = 1
         self.timer = StageTimer()
 
+    def _full_cores(self) -> bool:
+        """Device-resident pre/post passes only apply to the stock
+        cores (sharded overriders keep the host passes)."""
+        return (
+            _device_prepass()
+            and self.encode_core_fn is encode_core
+            and self.decode_core_fn is decode_core
+        )
+
     # -- wave scheduling --------------------------------------------------
 
     def _wave_size(self) -> int:
@@ -253,44 +378,77 @@ class DevicePipeline:
             if len(data) > self.block_size:
                 raise Bz3Error(BZ3_ERR_MALFORMED_HEADER, "block exceeds block size")
 
-        # Phase A: per wave — host pre-pass, pad, async dispatch.
+        full = (
+            self._full_cores()
+            and self.use_rle
+            and self.use_lzp
+            and _lzp_device_ok(self.width)
+        )
+
+        # Phase A: per wave — host pre-pass (unless device-resident),
+        # pad, async dispatch.
         waves = []  # (start, count, metas, core outputs)
         start = 0
         for count, rows in self._wave_splits(len(blocks)):
             chunk = blocks[start : start + count]
-            metas = []  # (model, lzp_size, rle_size, cur)
-            with t.stage("encode/host_prepass"):
-                for data in chunk:
-                    model, lzp_size, rle_size, cur = 0, -1, -1, data
-                    if len(data) >= SMALL_BLOCK_THRESHOLD:
-                        if self.use_rle:
-                            r = rle_encode(cur)
-                            if len(r) < len(cur):
-                                cur, rle_size, model = r, len(r), model | 4
-                        if self.use_lzp:
-                            l = lzp_encode(cur)
-                            if l is not None and len(l) < len(cur):
-                                cur, lzp_size, model = l, len(l), model | 2
-                    metas.append((model, lzp_size, rle_size, cur))
+            metas = None
+            if not full:
+                metas = []  # (model, lzp_size, rle_size, cur)
+                with t.stage("encode/host_prepass"):
+                    for data in chunk:
+                        model, lzp_size, rle_size, cur = 0, -1, -1, data
+                        if len(data) >= SMALL_BLOCK_THRESHOLD:
+                            if self.use_rle:
+                                r = rle_encode(cur)
+                                if len(r) < len(cur):
+                                    cur, rle_size, model = r, len(r), model | 4
+                            if self.use_lzp:
+                                l = lzp_encode(cur)
+                                if l is not None and len(l) < len(cur):
+                                    cur, lzp_size, model = l, len(l), model | 2
+                        metas.append((model, lzp_size, rle_size, cur))
             with t.stage("encode/pad_h2d"):
                 orig_arr, orig_lens = _pad_batch(chunk, self.width, rows)
-                cur_arr, cur_lens = _pad_batch(
-                    [m[3] for m in metas], self.width, rows
-                )
+                if not full:
+                    cur_arr, cur_lens = _pad_batch(
+                        [m[3] for m in metas], self.width, rows
+                    )
             with t.stage("encode/dispatch"):
-                outs = self.encode_core_fn(orig_arr, orig_lens, cur_arr, cur_lens)
+                if full:
+                    outs = encode_core_full(orig_arr, orig_lens)
+                else:
+                    outs = self.encode_core_fn(
+                        orig_arr, orig_lens, cur_arr, cur_lens
+                    )
             waves.append((start, count, metas, outs))
             start += count
 
         # Phase B: per wave — sync lengths, slice + start async D2H.
         # The pull of wave i streams back while waves i+1.. compute.
         pulled = []
-        for wstart, count, metas, (crc, idx, payload, plens, ok) in waves:
+        for wstart, count, metas, outs in waves:
+            if full:
+                crc, idx, payload, plens, ok, model_a, lzp_a, rle_a = outs
+            else:
+                crc, idx, payload, plens, ok = outs
             with t.stage("encode/sync_meta"):
                 crc = np.asarray(crc)
                 idx = np.asarray(idx)
                 plens_np = np.asarray(plens)
                 ok = np.asarray(ok)
+                if full:
+                    model_a = np.asarray(model_a)
+                    lzp_a = np.asarray(lzp_a)
+                    rle_a = np.asarray(rle_a)
+                    metas = [
+                        (
+                            int(model_a[i]),
+                            int(lzp_a[i]) if model_a[i] & 2 else -1,
+                            int(rle_a[i]) if model_a[i] & 4 else -1,
+                            None,
+                        )
+                        for i in range(count)
+                    ]
             with t.stage("encode/slice_payload"):
                 # Device->host through the accelerator tunnel runs
                 # ~15 MB/s (measured; H2D is ~400), so never pull the
@@ -388,6 +546,8 @@ class DevicePipeline:
         while pw < max(map(len, payloads), default=1):
             pw <<= 1
 
+        full = self._full_cores() and _lzp_device_ok(self.width)
+
         # Phase A: dispatch every wave, starting the async D2H pull the
         # moment the (host-known) real row extent is computed.
         waves = []
@@ -401,24 +561,74 @@ class DevicePipeline:
                 idx_w = np.zeros(rows, np.int32)
                 idx_w[:count] = idxs[sl]
             with t.stage("decode/dispatch"):
-                data = self.decode_core_fn(
-                    pay_arr,
-                    pay_lens,
-                    jnp.asarray(sbb_w),
-                    jnp.asarray(idx_w),
-                    self.width,
-                )
-                # Rows only hold sbb bytes (the post-LZP/RLE size,
-                # typically well under the block width) — slice on
-                # device before the pull, then stream it back while
-                # later waves compute.
-                data = _start_d2h(data[:count, : max(1, max(sbbs[sl], default=1))])
+                if full:
+                    mdl_w = np.zeros(rows, np.int32)
+                    osz_w = np.zeros(rows, np.int32)
+                    for j in range(count):
+                        if (start + j) in literal:
+                            continue  # inert row; host path handles it
+                        mdl_w[j] = headers[start + j].model
+                        osz_w[j] = blocks[start + j][1]
+                    final, final_lens, crcs, stage_ok = decode_core_full(
+                        pay_arr,
+                        pay_lens,
+                        jnp.asarray(sbb_w),
+                        jnp.asarray(idx_w),
+                        jnp.asarray(mdl_w),
+                        jnp.asarray(osz_w),
+                        self.width,
+                    )
+                    data = (
+                        _start_d2h(final[:count, : max(1, int(osz_w.max()))]),
+                        final_lens,
+                        crcs,
+                        stage_ok,
+                    )
+                else:
+                    data = self.decode_core_fn(
+                        pay_arr,
+                        pay_lens,
+                        jnp.asarray(sbb_w),
+                        jnp.asarray(idx_w),
+                        self.width,
+                    )
+                    # Rows only hold sbb bytes (the post-LZP/RLE size,
+                    # typically well under the block width) — slice on
+                    # device before the pull, then stream it back while
+                    # later waves compute.
+                    data = _start_d2h(
+                        data[:count, : max(1, max(sbbs[sl], default=1))]
+                    )
             waves.append((start, count, data))
             start += count
 
         # Phase B: per wave — pull, host post-passes, CRC verify.
         finals = [b""] * len(blocks)
         device_verify = os.environ.get("BZ3_TPU_DEVICE_CRC_VERIFY", "0") == "1"
+        if full:
+            for wstart, count, (final, final_lens, crcs, stage_ok) in waves:
+                with t.stage("decode/d2h"):
+                    final = np.asarray(final)
+                    final_lens = np.asarray(final_lens)
+                    crcs = np.asarray(crcs)
+                    stage_ok = np.asarray(stage_ok)
+                with t.stage("decode/verify"):
+                    for i in range(wstart, wstart + count):
+                        j = i - wstart
+                        if i in literal:
+                            finals[i] = literal[i][0]
+                            if int(_host_crc32(finals[i])) != literal[i][1]:
+                                raise Bz3Error(BZ3_ERR_CRC)
+                            continue
+                        if not bool(stage_ok[j]):
+                            raise Bz3Error(BZ3_ERR_CRC)
+                        ln = int(final_lens[j])
+                        if ln > self.block_size:
+                            raise Bz3Error(BZ3_ERR_MALFORMED_HEADER)
+                        if int(crcs[j]) != headers[i].crc32:
+                            raise Bz3Error(BZ3_ERR_CRC)
+                        finals[i] = final[j, :ln].tobytes()
+            return finals
         for wstart, count, data in waves:
             with t.stage("decode/d2h"):
                 data = np.asarray(data)

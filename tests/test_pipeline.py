@@ -138,3 +138,17 @@ def test_hybrid_engine_matches_native(blocks):
     assert enc_h == enc_n
     pairs = [(e, len(b)) for e, b in zip(enc_h, blocks)]
     assert hyb.decode_blocks(pairs, BS) == blocks
+
+
+def test_device_prepass_full_chain(blocks, monkeypatch):
+    """BZ3_TPU_DEVICE_PREPASS=1: all four stage codecs run on device
+    (RLE batch kernels + scalar-unit LZP + BWT + CM); streams must stay
+    byte-identical to the oracle and round-trip."""
+    monkeypatch.setenv("BZ3_TPU_DEVICE_PREPASS", "1")
+    pipe = DevicePipeline(BS)
+    assert pipe._full_cores()
+    encoded = pipe.encode_blocks(blocks)
+    for e, b in zip(encoded, blocks):
+        assert e == encode_block(b)
+    decoded = pipe.decode_blocks([(e, len(b)) for e, b in zip(encoded, blocks)])
+    assert decoded == list(blocks)
