@@ -50,9 +50,7 @@ def _segstart_ranks(keys, pos):
     true1 = jnp.ones((k_dim, 1), bool)
     is_start = jnp.concatenate([true1, change], axis=1)
     is_start_next = jnp.concatenate([change, true1], axis=1)
-    segstart = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_start, iota, 0), axis=1
-    )
+    segstart = jax.lax.cummax(jnp.where(is_start, iota, 0), axis=1)
     bidx = jnp.arange(k_dim)[:, None]
     rank = jnp.zeros((k_dim, n), jnp.int32).at[bidx, sp].set(segstart)
     unresolved = jnp.sum(~(is_start & is_start_next), axis=1).astype(jnp.int32)
@@ -70,12 +68,15 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
     pos = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (k_dim, n))
     lens = lengths[:, None]
 
-    # Initial ranks from FOUR leading symbols (two 2-symbol packed keys)
-    # instead of one byte, so prefix doubling starts at k = 4 — two
-    # fewer O(N log N) sort rounds.  Symbols are byte+1 with 0 for
-    # end-of-string (non-wrapping order, end smallest); pad positions
-    # get strictly increasing negative keys so they sort to a
-    # contiguous prefix in position order (the distinct-sentinel trick).
+    # Initial ranks from FOUR leading symbols (two 2-symbol packed
+    # keys), so prefix doubling starts at k = 4.  SIX-symbol seeds
+    # (3 per key, 27 bits) were measured SLOWER on chip (4.94 vs 5.62
+    # MB/s at [16x1MiB]): text 6-grams still repeat enough that no
+    # full round is saved, and the wider compares cost real time.
+    # Symbols are byte+1 with 0 for end-of-string (non-wrapping order,
+    # end smallest); pad positions get strictly increasing negative
+    # keys so they sort to a contiguous prefix in position order (the
+    # distinct-sentinel trick).
     def sym(off):
         v = jnp.take_along_axis(
             data.astype(jnp.int32), jnp.minimum(pos + off, n - 1), axis=1
@@ -175,13 +176,11 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
             for a in sk[1:]:
                 sub_change = sub_change | (a[:, 1:] != a[:, :-1])
             true1 = jnp.ones((k_dim, 1), bool)
-            seg_start = jax.lax.associative_scan(
-                jnp.maximum,
+            seg_start = jax.lax.cummax(
                 jnp.where(jnp.concatenate([true1, seg_change], 1), iota_c, 0),
                 axis=1,
             )
-            sub_start = jax.lax.associative_scan(
-                jnp.maximum,
+            sub_start = jax.lax.cummax(
                 jnp.where(jnp.concatenate([true1, sub_change], 1), iota_c, 0),
                 axis=1,
             )

@@ -1048,19 +1048,21 @@ def _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=True):
                     step = jnp.where(k == 2, m2, step)
                     step = jnp.where(k == 3, m3, step)
                     step = jnp.where(k == 4, m4, step)
-                for sidx in range(4):
-                    byte_s = _srl(low, 24 - 8 * sidx) & 0xFF
-                    wv = jnp.where(
-                        jnp.broadcast_to((k > sidx)[:, :1], (lanes, 256))
-                        & (
-                            wcol_iota
-                            == jnp.broadcast_to(
-                                ((optr + sidx) & 255)[:, :1], (lanes, 256)
-                            )
-                        ),
-                        jnp.broadcast_to(byte_s[:, :1], (lanes, 256)),
-                        wv,
-                    )
+                # one range-masked blend emits all k <= 4 renorm bytes:
+                # the carry slot at circular offset j < k takes byte
+                # (low >> (24 - 8j)) — a per-element variable shift, so
+                # the four one-hot passes collapse into one.
+                col_rel = (
+                    wcol_iota
+                    - jnp.broadcast_to((optr & 255)[:, :1], (lanes, 256))
+                ) & 255
+                sh = 24 - (jnp.minimum(col_rel, 3) << 3)
+                vals = _srl(
+                    jnp.broadcast_to(low[:, :1], (lanes, 256)), sh
+                ) & 0xFF
+                wv = jnp.where(
+                    col_rel < jnp.broadcast_to(k[:, :1], (lanes, 256)), vals, wv
+                )
                 optr = optr + k
                 low = _shl8k(low, k)
                 high = _shl8k(high, k) | _mask8k(k)

@@ -5,19 +5,25 @@ scanner: per position it hashes the last-4-byte context into an 18-bit
 LUT of positions and either copies a literal or emits a match token —
 irregular control flow with random access into the processed prefix.
 That shape is hostile to the VPU (a lockstep vector formulation pays
-the full match machinery every byte on every lane) but fits the TPU's
-SCALAR unit: this kernel keeps the block, the output, and the 1 MiB
-LUT resident in VMEM and advances ONE scalar state machine per block —
-`jax.lax.while_loop`s over scalar carries, dynamic scalar VMEM
-loads/stores, no vector ops in the hot path at all.  Blocks batch over
-a grid (one grid step per block; the LUT is re-zeroed per step).
+the full match machinery every byte on every lane), so this kernel
+runs it as ONE state machine per block driven by the TPU's scalar
+unit: `jax.lax.while_loop`s over scalar carries with the block, the
+output, and the 1 MiB LUT resident in VMEM.  Mosaic permits scalar
+VMEM addressing only at 128-aligned lane offsets, so random word
+access is built from native-tile primitives — a load is an (8,128)
+tile read + one-hot reduce, a store a tile RMW blend (see _ld/_st).
+Blocks batch over a grid (one grid step per block; the LUT is
+re-zeroed per step).
 
-The design splits the engine's stages by execution unit: BWT/CM/CRC
-saturate the VPU as lane kernels, LZP rides the otherwise-idle scalar
-core.  Byte-exactness against ops/ref/lzp.py (including the encoder's
-`heur` rejection quirk, the word-granular + 0..3 match extension, and
-the base-254 length coding with its out_cap break) is enforced by
-tests in interpret mode; the same kernel runs compiled on TPU.
+This is a COMPLETENESS kernel, not a throughput engine: each access
+pays a vector<->scalar sync, and grid steps are sequential — the
+device pipeline uses it under BZ3_TPU_DEVICE_PREPASS=1 (self-contained
+deployments), while the default path keeps the 213+ MB/s host pass
+overlapped behind device compute.  Byte-exactness against
+ops/ref/lzp.py (including the encoder's `heur` rejection quirk, the
+word-granular + 0..3 match extension, and the base-254 length coding
+with its out_cap break) is enforced by tests in interpret mode; the
+identical kernel compiles for the chip.
 
 Data is PACKED 4 bytes/word (big-endian) so VMEM holds 1 byte/byte:
 unaligned 4-byte probes are two word loads + shifts, and equality of
@@ -61,13 +67,33 @@ def _srl(a, n):
 # update ctx' = (ctx<<8) | b.
 
 
+# Mosaic restricts SCALAR VMEM addressing to 128-aligned lane indices,
+# so arbitrary scalar access is built from native-tile ops: arrays are
+# [Ntiles, 8, 128] (word w -> tile w>>10, sublane (w>>7)&7, lane w&127);
+# a load is a tile read + one-hot reduce, a store is a tile RMW blend.
+# Each costs a vector<->scalar sync (~420 cycles, PERF_NOTES §0) — this
+# kernel is completeness-grade (the pre-pass is 3% of encode wall on
+# the host path), not a throughput engine.
+
+
 def _ld(ref, q):
-    """Scalar word load from a [W/128, 128] VMEM ref at word index q."""
-    return ref[_srl(q, 7), q & 127]
+    """Scalar word load from a [T, 8, 128] VMEM ref at word index q."""
+    tile = ref[_srl(q, 10)]
+    subi = jax.lax.broadcasted_iota(I32, (8, 128), 0)
+    lanei = jax.lax.broadcasted_iota(I32, (8, 128), 1)
+    return jnp.sum(
+        jnp.where((subi == (_srl(q, 7) & 7)) & (lanei == (q & 127)), tile, 0)
+    )
 
 
 def _st(ref, q, v):
-    ref[_srl(q, 7), q & 127] = v
+    t = _srl(q, 10)
+    tile = ref[t]
+    subi = jax.lax.broadcasted_iota(I32, (8, 128), 0)
+    lanei = jax.lax.broadcasted_iota(I32, (8, 128), 1)
+    ref[t] = jnp.where(
+        (subi == (_srl(q, 7) & 7)) & (lanei == (q & 127)), v, tile
+    )
 
 
 def _w32(ref, pos):
@@ -297,10 +323,12 @@ def _make_decode_kernel(nw_in, nw_out):
                     def run(st):
                         ip, op, ctx, err = st
 
-                        # base-254 length: consume until a byte != 254
+                        # base-254 length: consume until a byte != 254.
+                        # flags are i32, not bool: Mosaic's scf.if
+                        # verifier rejects mixed i1/i32 branch yields.
                         def len_cond(c):
                             ip, ln, stop, err = c
-                            return jnp.logical_not(stop) & (err == 0)
+                            return (stop == 0) & (err == 0)
 
                         def len_body(c):
                             ip, ln, stop, err = c
@@ -308,16 +336,17 @@ def _make_decode_kernel(nw_in, nw_out):
                             def ok(c):
                                 ip, ln, stop, err = c
                                 b = _byte(inw_ref, ip)
-                                return ip + 1, ln + b, b != 254, err
+                                return ip + 1, ln + b, (b != 254).astype(jnp.int32), err
 
                             def bad(c):
                                 ip, ln, stop, err = c
-                                return ip, ln, True, jnp.int32(1)
+                                return ip, ln, jnp.int32(1), jnp.int32(1)
 
                             return jax.lax.cond(ip == n, bad, ok, c)
 
                         ip, ln, _, err = jax.lax.while_loop(
-                            len_cond, len_body, (ip, jnp.int32(MIN_MATCH), False, err)
+                            len_cond, len_body,
+                            (ip, jnp.int32(MIN_MATCH), jnp.int32(0), err),
                         )
 
                         # overlapping forward copy from the prediction
@@ -369,11 +398,11 @@ def _pack_words(data_u8):
     tiled as [K, W/128, 128]."""
     k, n = data_u8.shape
     nw = -(-n // 4)
-    nw_pad = -(-(nw + 2) // 128) * 128  # +2 words probe margin
+    nw_pad = -(-(nw + 2) // 1024) * 1024  # +2 words probe margin; tile-sized
     b = jnp.zeros((k, nw_pad * 4), jnp.uint8).at[:, :n].set(data_u8)
     w = b.reshape(k, nw_pad, 4).astype(jnp.int32)
     packed = (w[..., 0] << 24) | (w[..., 1] << 16) | (w[..., 2] << 8) | w[..., 3]
-    return packed.reshape(k, nw_pad // 128, 128), nw_pad
+    return packed.reshape(k, nw_pad // 1024, 8, 128), nw_pad
 
 
 def _unpack_words(packed, n_bytes):
@@ -402,16 +431,16 @@ def _encode_call(inw, lens, nw_in, nw_out, interpret):
         in_specs=[
             pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, nw_in // 128, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, nw_in // 1024, 8, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, nw_out // 128, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, nw_out // 1024, 8, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((1 << (LZP_BITS - 7), 128), I32)],
+        scratch_shapes=[pltpu.VMEM((1 << (LZP_BITS - 10), 8, 128), I32)],
     )
 
     def kernel(len_ref, inw_ref, outw_ref, olen_ref, lut_ref):
@@ -427,7 +456,7 @@ def _encode_call(inw, lens, nw_in, nw_out, interpret):
     outw, olens = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((k, nw_out // 128, 128), I32),
+            jax.ShapeDtypeStruct((k, nw_out // 1024, 8, 128), I32),
             jax.ShapeDtypeStruct((k, 1), I32),
         ),
         grid_spec=grid_spec,
@@ -447,16 +476,16 @@ def _decode_call(inw, lens, max_outs, nw_in, nw_out, interpret):
             pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (1, nw_in // 128, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, nw_in // 1024, 8, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=(
             pl.BlockSpec(
-                (1, nw_out // 128, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, nw_out // 1024, 8, 128), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ),
-        scratch_shapes=[pltpu.VMEM((1 << (LZP_BITS - 7), 128), I32)],
+        scratch_shapes=[pltpu.VMEM((1 << (LZP_BITS - 10), 8, 128), I32)],
     )
 
     def kernel(len_ref, mo_ref, inw_ref, outw_ref, olen_ref, lut_ref):
@@ -465,7 +494,7 @@ def _decode_call(inw, lens, max_outs, nw_in, nw_out, interpret):
     outw, olens = pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((k, nw_out // 128, 128), I32),
+            jax.ShapeDtypeStruct((k, nw_out // 1024, 8, 128), I32),
             jax.ShapeDtypeStruct((k, 1), I32),
         ),
         grid_spec=grid_spec,
@@ -492,7 +521,7 @@ def lzp_decode_pallas_batch(data, in_lens, max_out: int, interpret: bool | None 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     inw, nw_in = _pack_words(data)
-    nw_out = -(-(-(-max_out // 4) + 2) // 128) * 128
+    nw_out = -(-(-(-max_out // 4) + 2) // 1024) * 1024
     mo = jnp.full((data.shape[0],), max_out, I32)
     outw, olens = _decode_call(inw, in_lens, mo, nw_in, nw_out, interpret)
     return _unpack_words(outw, max_out), olens

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 
 def _seg_cummax(x, axis=1):
-    return jax.lax.associative_scan(jnp.maximum, x, axis=axis)
+    return jax.lax.cummax(x, axis=axis)
 
 
 @partial(jax.jit, static_argnames=("out_width",))
@@ -159,9 +159,7 @@ def rle_decode_batch(data, in_lens, out_lens, out_width):
     # For each header, the terminator is the next is_term position.
     inf = jnp.int32(m + 1)
     term_idx = jnp.where(is_term, pos, inf)
-    nxt_term = jax.lax.associative_scan(
-        jnp.minimum, term_idx, axis=1, reverse=True
-    )
+    nxt_term = jax.lax.cummin(term_idx, axis=1, reverse=True)
     hdr_term = jnp.concatenate([nxt_term[:, 1:], jnp.full((k_dim, 1), inf, jnp.int32)], axis=1)
     has_term = hdr_term <= (in_lens[:, None] - 1)
     term_byte = jnp.take_along_axis(b, jnp.minimum(hdr_term, m - 1), axis=1)
