@@ -193,8 +193,11 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
             cond_comp, body_comp, (rank, k_reached, unres.max() == 0)
         )
 
-    # SA[r] = position with rank r.
-    _, sa = jax.lax.sort((rank, pos), num_keys=1, is_stable=True)
+    # SA[r] = position with rank r.  Segment-start ranks are exactly
+    # the sorted indices once every group is a singleton (the loops
+    # only exit resolved — distinct sentinels guarantee termination),
+    # so the final full-array sort collapses to ONE scatter.
+    sa = jnp.zeros((k_dim, n), jnp.int32).at[bidx, rank].set(pos)
 
     # Real suffixes occupy SA[padlen:].  Locate rank of suffix 0.
     padlen = jnp.int32(n) - lengths  # [K]

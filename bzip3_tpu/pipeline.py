@@ -100,8 +100,9 @@ def _bwt_row_groups(k: int, width: int) -> int:
     ~5 int32 arrays of the batch shape, ops/device/bwt.py); small
     widths run as one launch.  Static per shape — the python loop in
     the traced core unrolls into sequential sorts in one program."""
-    budget = int(float(os.environ.get("BZ3_TPU_BWT_GROUP_MIB", "64")) * (1 << 20))
-    return max(1, min(k, budget // max(1, width)))
+    budget = int(float(os.environ.get("BZ3_TPU_BWT_GROUP_MIB", "16")) * (1 << 20))
+    rows_cap = int(os.environ.get("BZ3_TPU_BWT_GROUP_ROWS", "16"))
+    return max(1, min(k, rows_cap, budget // max(1, width)))
 
 
 def _device_prepass() -> bool:
@@ -221,6 +222,38 @@ def decode_core_full(payload, payload_lens, sbb_lens, bwt_idx, models, orig_size
 
 
 @jax.jit
+def encode_core_hostcrc(cur, cur_lens):
+    """Device encode stages when the checksum is host-side: BWT → CM.
+
+    The raw blocks never reach the device (the hardware CRC32 runs at
+    ~7 GiB/s on the host during the overlapped pre-pass), which also
+    drops the orig-batch upload.  Returns (idx, payload, plens, ok)."""
+    k_dim, n = cur.shape
+    g = _bwt_row_groups(k_dim, n)
+    if g < k_dim:
+        parts = [
+            bwt_forward_batch(cur[s : s + g], cur_lens[s : s + g])
+            for s in range(0, k_dim, g)
+        ]
+        u = jnp.concatenate([p[0] for p in parts], axis=0)
+        idx = jnp.concatenate([p[1] for p in parts], axis=0)
+    else:
+        u, idx = bwt_forward_batch(cur, cur_lens)
+    impl = _cm_impl()
+    if impl == "pallas":
+        from .ops.device.cm_pallas import cm_encode_pallas_batch
+
+        payload, plens = cm_encode_pallas_batch(u, cur_lens)
+        ok = plens <= payload.shape[1]
+    elif impl == "xla" and cur.shape[1] <= _CM_PARALLEL_MAX_N:
+        payload, plens, ok = cm_encode_parallel_batch(u, cur_lens)
+    else:
+        payload, plens = cm_encode_batch(u, cur_lens)
+        ok = plens <= payload.shape[1]
+    return idx, payload, plens, ok
+
+
+@jax.jit
 def encode_core(orig, orig_lens, cur, cur_lens):
     """Device encode stages for a [K, N] batch.
 
@@ -307,6 +340,49 @@ def _start_d2h(arr):
     return arr
 
 
+def _bwt_difficulty(b: bytes) -> float:
+    """Distinct sampled-8-gram ratio — a cheap host-side proxy for the
+    prefix-doubling round count (repeat-heavy rows resolve late).  Used
+    to ORDER rows inside a wave so the BWT sub-launches are homogeneous:
+    one pathological row then gates only its own group's full rounds,
+    not the whole wave's (measured: 4 periodic rows dragged a mixed
+    [16x1MiB] batch to 1.97 MB/s when interleaved)."""
+    if len(b) < 4096:
+        return 1.0
+    a = np.frombuffer(b, np.uint8)
+    step = max(1, (len(b) - 8) // 2048)
+    idx = np.arange(0, len(b) - 8, step)[:2048]
+    g = np.lib.stride_tricks.sliding_window_view(a, 8)[idx]
+    weights = (np.uint64(1) << (np.arange(8, dtype=np.uint64) * 8))
+    v = g.astype(np.uint64) @ weights
+    return float(len(np.unique(v))) / len(v)
+
+
+def _pull_meta(*arrs):
+    """Pull several small per-row arrays as ONE stacked transfer.
+
+    Each np.asarray through the accelerator tunnel is a round trip;
+    per wave that adds up (4 metas x waves).  Host-side (numpy) entries
+    pass through; the device-resident ones pull stacked."""
+    out = list(arrs)
+    dev = [i for i, a in enumerate(arrs) if isinstance(a, jax.Array)]
+    if len(dev) > 1:
+        try:
+            # i32 carrier: u32 CRCs ride as their two's-complement bit
+            # pattern (consumers mask with & 0xFFFFFFFF).
+            m = np.asarray(
+                jnp.stack([arrs[i].astype(jnp.int32) for i in dev])
+            )
+            for j, i in enumerate(dev):
+                out[i] = m[j]
+            dev = []
+        except Exception:
+            pass
+    for i in dev:
+        out[i] = np.asarray(arrs[i])
+    return [np.asarray(a) for a in out]
+
+
 class DevicePipeline:
     """Batched encoder/decoder bound to one block size.
 
@@ -326,6 +402,26 @@ class DevicePipeline:
         self.decode_core_fn = decode_core
         self.wave_multiple = 1
         self.timer = StageTimer()
+
+    def _bucket_width(self, need: int) -> int:
+        """Device array width for a wave: the stage kernels pay for the
+        PADDED width (sorts/CM steps run over every column), so padding
+        post-LZP rows to the full block width wastes their shrink
+        (~25-35% of BWT+CM on text).  Bucket to width/8 steps — at most
+        8 shapes per block size."""
+        step = max(256, _round_up(self.width // 8, 256))
+        return min(self.width, _round_up(max(need, 64), step))
+
+    def _host_crc(self) -> bool:
+        """Encode-side CRC32 on the host (default): the hardware CRC
+        runs at ~7 GiB/s inside the overlapped pre-pass, and skipping
+        the device CRC also skips the raw-batch upload (the device only
+        ever sees post-prepass rows).  BZ3_TPU_HOST_CRC=0 restores the
+        on-device CRC path (the kernel stays tested either way)."""
+        return (
+            os.environ.get("BZ3_TPU_HOST_CRC", "1") == "1"
+            and self.encode_core_fn is encode_core
+        )
 
     def _full_cores(self) -> bool:
         """Device-resident pre/post passes only apply to the stock
@@ -392,11 +488,16 @@ class DevicePipeline:
         for count, rows in self._wave_splits(len(blocks)):
             chunk = blocks[start : start + count]
             metas = None
+            host_crc = False
             if not full:
                 metas = []  # (model, lzp_size, rle_size, cur)
+                host_crc = self._host_crc()
                 with t.stage("encode/host_prepass"):
-                    for data in chunk:
+                    crcs = np.zeros(rows, np.int64) if host_crc else None
+                    for bi, data in enumerate(chunk):
                         model, lzp_size, rle_size, cur = 0, -1, -1, data
+                        if host_crc:
+                            crcs[bi] = _host_crc32(data)
                         if len(data) >= SMALL_BLOCK_THRESHOLD:
                             if self.use_rle:
                                 r = rle_encode(cur)
@@ -407,39 +508,65 @@ class DevicePipeline:
                                 if l is not None and len(l) < len(cur):
                                     cur, lzp_size, model = l, len(l), model | 2
                         metas.append((model, lzp_size, rle_size, cur))
+            perm = None
+            if not full and count > 1:
+                # Order rows by BWT difficulty so the forward sub-
+                # launches are homogeneous — a pathological row then
+                # pays its deep doubling rounds only within its own
+                # group (see _bwt_difficulty).
+                diffs = [_bwt_difficulty(m[3]) for m in metas]
+                if max(diffs) - min(diffs) > 0.05:
+                    perm = sorted(range(count), key=lambda j: diffs[j])
+                    metas = [metas[p] for p in perm]
+                    if host_crc:
+                        crcs[:count] = crcs[np.asarray(perm)]
             with t.stage("encode/pad_h2d"):
-                orig_arr, orig_lens = _pad_batch(chunk, self.width, rows)
-                if not full:
-                    cur_arr, cur_lens = _pad_batch(
-                        [m[3] for m in metas], self.width, rows
+                if full:
+                    orig_arr, orig_lens = _pad_batch(chunk, self.width, rows)
+                else:
+                    cw = self._bucket_width(
+                        max((len(m[3]) for m in metas), default=64)
                     )
+                    cur_arr, cur_lens = _pad_batch(
+                        [m[3] for m in metas], cw, rows
+                    )
+                    if not host_crc:
+                        orig_arr, orig_lens = _pad_batch(
+                            [chunk[p] for p in perm] if perm else chunk,
+                            self.width,
+                            rows,
+                        )
             with t.stage("encode/dispatch"):
                 if full:
                     outs = encode_core_full(orig_arr, orig_lens)
+                elif host_crc:
+                    idx, payload, plens, ok = encode_core_hostcrc(
+                        cur_arr, cur_lens
+                    )
+                    outs = (crcs, idx, payload, plens, ok)
                 else:
                     outs = self.encode_core_fn(
                         orig_arr, orig_lens, cur_arr, cur_lens
                     )
-            waves.append((start, count, metas, outs))
+            waves.append((start, count, metas, outs, perm if not full else None))
             start += count
 
         # Phase B: per wave — sync lengths, slice + start async D2H.
         # The pull of wave i streams back while waves i+1.. compute.
         pulled = []
-        for wstart, count, metas, outs in waves:
+        for wstart, count, metas, outs, perm in waves:
             if full:
                 crc, idx, payload, plens, ok, model_a, lzp_a, rle_a = outs
             else:
                 crc, idx, payload, plens, ok = outs
             with t.stage("encode/sync_meta"):
-                crc = np.asarray(crc)
-                idx = np.asarray(idx)
-                plens_np = np.asarray(plens)
-                ok = np.asarray(ok)
                 if full:
-                    model_a = np.asarray(model_a)
-                    lzp_a = np.asarray(lzp_a)
-                    rle_a = np.asarray(rle_a)
+                    crc, idx, plens_np, ok, model_a, lzp_a, rle_a = _pull_meta(
+                        crc, idx, plens, ok, model_a, lzp_a, rle_a
+                    )
+                else:
+                    crc, idx, plens_np, ok = _pull_meta(crc, idx, plens, ok)
+                if full:
                     metas = [
                         (
                             int(model_a[i]),
@@ -456,18 +583,28 @@ class DevicePipeline:
                 # payload on device first (a 5-6x transfer cut).
                 max_len = min(int(plens_np.max(initial=0)), payload.shape[1])
                 pay = _start_d2h(payload[:, :max_len])
-            pulled.append((wstart, count, metas, crc, idx, plens_np, ok, pay))
+            pulled.append(
+                (wstart, count, metas, crc, idx, plens_np, ok, pay, perm)
+            )
 
         out = []
-        for wstart, count, metas, crc, idx, plens, ok, pay in pulled:
+        for wstart, count, metas, crc, idx, plens, ok, pay, perm in pulled:
             with t.stage("encode/d2h_payload"):
                 pay = np.asarray(pay)
             with t.stage("encode/assemble"):
+                wave_out = [b""] * count
                 for i in range(count):
-                    data = blocks[wstart + i]
+                    # row i of the device arrays holds original block
+                    # perm[i] when difficulty ordering permuted the wave
+                    oi = perm[i] if perm is not None else i
+                    data = blocks[wstart + oi]
                     model, lzp_size, rle_size, _ = metas[i]
                     if len(data) < SMALL_BLOCK_THRESHOLD:
-                        out.append(_U32.pack(int(crc[i])) + _S32.pack(-1) + data)
+                        wave_out[oi] = (
+                            _U32.pack(int(crc[i]) & 0xFFFFFFFF)
+                            + _S32.pack(-1)
+                            + data
+                        )
                         continue
                     if not bool(ok[i]):
                         # cm_parallel certification failure / emission
@@ -479,15 +616,19 @@ class DevicePipeline:
                         # stream).
                         from .models.block_codec import encode_block
 
-                        out.append(encode_block(data))
+                        wave_out[oi] = encode_block(data)
                         continue
-                    hdr = bytearray(_U32.pack(int(crc[i])) + _S32.pack(int(idx[i])))
+                    hdr = bytearray(
+                        _U32.pack(int(crc[i]) & 0xFFFFFFFF)
+                        + _S32.pack(int(idx[i]))
+                    )
                     hdr.append(model)
                     if model & 2:
                         hdr += _S32.pack(lzp_size)
                     if model & 4:
                         hdr += _S32.pack(rle_size)
-                    out.append(bytes(hdr) + pay[i, : plens[i]].tobytes())
+                    wave_out[oi] = bytes(hdr) + pay[i, : plens[i]].tobytes()
+                out.extend(wave_out)
         return out
 
     # -- decode ---------------------------------------------------------
@@ -585,12 +726,16 @@ class DevicePipeline:
                         stage_ok,
                     )
                 else:
+                    # Output width bucketed to the wave's real need:
+                    # CM decode steps and the inverse-BWT arrays scale
+                    # with this width, so post-LZP shrink is captured.
+                    ow = self._bucket_width(max(1, max(sbbs[sl], default=1)))
                     data = self.decode_core_fn(
                         pay_arr,
                         pay_lens,
                         jnp.asarray(sbb_w),
                         jnp.asarray(idx_w),
-                        self.width,
+                        ow,
                     )
                     # Rows only hold sbb bytes (the post-LZP/RLE size,
                     # typically well under the block width) — slice on
@@ -625,7 +770,7 @@ class DevicePipeline:
                         ln = int(final_lens[j])
                         if ln > self.block_size:
                             raise Bz3Error(BZ3_ERR_MALFORMED_HEADER)
-                        if int(crcs[j]) != headers[i].crc32:
+                        if int(crcs[j]) & 0xFFFFFFFF != headers[i].crc32:
                             raise Bz3Error(BZ3_ERR_CRC)
                         finals[i] = final[j, :ln].tobytes()
             return finals

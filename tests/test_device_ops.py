@@ -236,3 +236,26 @@ def test_bwt_16mib_width_no_blowup():
     u, idx = bwt_forward_batch(data, lens)
     out = bwt_inverse_batch(u, lens, idx)
     assert np.array_equal(np.asarray(out), raw)
+
+
+def test_device_large_block_64mib():
+    """Device `-b 64` capability: one 64 MiB block through the full
+    device pipeline, bit-exact (BASELINE config 4 direction; the
+    reference supports blocks to 511 MiB, src/libbz3.c:536).  Heavy:
+    gated behind BZ3_TPU_HEAVY=1 (minutes on chip; impractical on the
+    CPU suite backend)."""
+    import os
+    import pytest
+
+    if os.environ.get("BZ3_TPU_HEAVY", "0") != "1":
+        pytest.skip("set BZ3_TPU_HEAVY=1 (and run on TPU) for the 64 MiB block probe")
+    import numpy as np
+    from bzip3_tpu.pipeline import DevicePipeline
+
+    rng = np.random.default_rng(0)
+    words = [bytes(rng.integers(97, 123, int(rng.integers(2, 9)), dtype=np.uint8)) for _ in range(512)]
+    corpus = b" ".join(words[int(i) % 512] for i in rng.integers(0, 512, (64 << 20) // 5))[: 64 << 20]
+    pipe = DevicePipeline(len(corpus))
+    enc = pipe.encode_blocks([corpus])
+    dec = pipe.decode_blocks([(enc[0], len(corpus))])
+    assert dec[0] == corpus
