@@ -261,7 +261,7 @@ def main():
                 dev,
                 dev_corpus,
                 int(dev_block_mib * (1 << 20)),
-                reps=int(os.environ.get("BENCH_DEVICE_REPS", "3")),
+                reps=int(os.environ.get("BENCH_DEVICE_REPS", "2")),
             )
             if with_device_b16:
                 # LANE-FILLED `-b 16`: a batch of 16 MiB blocks (not a

@@ -238,24 +238,45 @@ def test_bwt_16mib_width_no_blowup():
     assert np.array_equal(np.asarray(out), raw)
 
 
-def test_device_large_block_64mib():
-    """Device `-b 64` capability: one 64 MiB block through the full
-    device pipeline, bit-exact (BASELINE config 4 direction; the
-    reference supports blocks to 511 MiB, src/libbz3.c:536).  Heavy:
-    gated behind BZ3_TPU_HEAVY=1 (minutes on chip; impractical on the
-    CPU suite backend)."""
+def test_device_large_block_64mib_bwt():
+    """Device large-block BWT capability: one 64 MiB block round-trips
+    through bwt_forward_batch/bwt_inverse_batch bit-exactly (verified
+    on chip: fwd+inv exact at [1, 64Mi]).  The FULL pipeline at 64 MiB
+    is gated — a single 64 Mi-step CM launch trips the TPU runtime's
+    kernel-duration watchdog and kills the worker (PERF_NOTES R3.8);
+    DevicePipeline fails fast above BZ3_TPU_MAX_DEVICE_BLOCK_MIB.
+    Heavy: gated behind BZ3_TPU_HEAVY=1."""
     import os
     import pytest
 
     if os.environ.get("BZ3_TPU_HEAVY", "0") != "1":
-        pytest.skip("set BZ3_TPU_HEAVY=1 (and run on TPU) for the 64 MiB block probe")
+        pytest.skip("set BZ3_TPU_HEAVY=1 (and run on TPU) for the 64 MiB BWT probe")
     import numpy as np
-    from bzip3_tpu.pipeline import DevicePipeline
+    import jax.numpy as jnp
+    from bzip3_tpu.ops.device.bwt import bwt_forward_batch, bwt_inverse_batch
 
     rng = np.random.default_rng(0)
     words = [bytes(rng.integers(97, 123, int(rng.integers(2, 9)), dtype=np.uint8)) for _ in range(512)]
     corpus = b" ".join(words[int(i) % 512] for i in rng.integers(0, 512, (64 << 20) // 5))[: 64 << 20]
-    pipe = DevicePipeline(len(corpus))
-    enc = pipe.encode_blocks([corpus])
-    dec = pipe.decode_blocks([(enc[0], len(corpus))])
-    assert dec[0] == corpus
+    rows = np.frombuffer(corpus, np.uint8).reshape(1, -1)
+    lens = jnp.asarray(np.array([rows.shape[1]], np.int32))
+    u, idx = bwt_forward_batch(jnp.asarray(rows), lens)
+    inv = bwt_inverse_batch(u, lens, idx)
+    assert np.array_equal(np.asarray(inv), rows)
+
+
+def test_device_pipeline_block_cap_message():
+    """Above the single-CM-launch cap the pipeline must fail fast with
+    a clear error on the TPU backend (never crash the worker).  On the
+    CPU suite backend construction succeeds (no watchdog)."""
+    import jax
+    from bzip3_tpu.pipeline import DevicePipeline
+    from bzip3_tpu.errors import Bz3Error
+
+    if jax.default_backend() == "tpu":
+        import pytest
+
+        with pytest.raises(Bz3Error, match="single-CM-launch cap"):
+            DevicePipeline(64 << 20)
+    else:
+        DevicePipeline(64 << 20)  # no gate off-TPU
