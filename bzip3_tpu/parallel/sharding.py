@@ -72,6 +72,27 @@ def sharded_encode_core(mesh: Mesh):
     return jax.jit(mapped)
 
 
+def sharded_encode_core_hostcrc(mesh: Mesh):
+    """shard_map'd BWT→CM core for the host-CRC fast path: the wave
+    scheduler computes CRC32 on the host during the overlapped
+    pre-pass, so raw blocks never upload (same as the single-chip
+    encode_core_hostcrc, pipeline.py)."""
+
+    def _core(cur, cur_lens):
+        from ..pipeline import encode_core_hostcrc
+
+        return encode_core_hostcrc(cur, cur_lens)
+
+    mapped = shard_map(
+        _core,
+        mesh=mesh,
+        in_specs=(P("dp"), P("dp")),
+        out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def sharded_decode_core(mesh: Mesh, out_width: int):
     def _core(payload, payload_lens, sbb_lens, bwt_idx):
         from ..pipeline import _cm_impl
@@ -122,6 +143,7 @@ def sharded_pipeline(block_size: int, mesh: Mesh | None = None):
         return data
 
     pipe.encode_core_fn = encode_core_fn
+    pipe.encode_core_hostcrc_fn = sharded_encode_core_hostcrc(mesh)
     pipe.decode_core_fn = decode_core_fn
     pipe.mesh = mesh
     return pipe

@@ -421,6 +421,8 @@ class DevicePipeline:
         self.use_lzp = use_lzp
         self.encode_core_fn = encode_core
         self.decode_core_fn = decode_core
+        # Optional override of the host-CRC encode core (see _host_crc).
+        self.encode_core_hostcrc_fn = None
         self.wave_multiple = 1
         self.timer = StageTimer()
 
@@ -439,9 +441,14 @@ class DevicePipeline:
         the device CRC also skips the raw-batch upload (the device only
         ever sees post-prepass rows).  BZ3_TPU_HOST_CRC=0 restores the
         on-device CRC path (the kernel stays tested either way)."""
+        if os.environ.get("BZ3_TPU_HOST_CRC", "1") != "1":
+            return False
+        # Overridden cores (e.g. sharded) opt in by also setting
+        # encode_core_hostcrc_fn; a bare encode_core_fn override (tests,
+        # wrappers) keeps the CRC inside that core.
         return (
-            os.environ.get("BZ3_TPU_HOST_CRC", "1") == "1"
-            and self.encode_core_fn is encode_core
+            self.encode_core_fn is encode_core
+            or self.encode_core_hostcrc_fn is not None
         )
 
     def _full_cores(self) -> bool:
@@ -561,9 +568,8 @@ class DevicePipeline:
                 if full:
                     outs = encode_core_full(orig_arr, orig_lens)
                 elif host_crc:
-                    idx, payload, plens, ok = encode_core_hostcrc(
-                        cur_arr, cur_lens
-                    )
+                    core = self.encode_core_hostcrc_fn or encode_core_hostcrc
+                    idx, payload, plens, ok = core(cur_arr, cur_lens)
                     outs = (crcs, idx, payload, plens, ok)
                 else:
                     outs = self.encode_core_fn(
