@@ -92,6 +92,13 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
 
     # stride < 2 would never refine ranks (infinite while_loop).
     stride = max(2, int(os.environ.get("BZ3_TPU_BWT_STRIDE", "4")))
+    # Full rounds may use a narrower stride than the compacted rounds:
+    # with compaction absorbing the late rounds, usually only ONE full
+    # round runs, and its cost scales with sort operand count
+    # (stride+1 arrays of [K, N]).
+    stride_full = max(
+        2, int(os.environ.get("BZ3_TPU_BWT_STRIDE_FULL", str(stride)))
+    )
     # Compacted-round capacity: once every row's unresolved-position
     # count fits in C, refinement rounds sort only those positions
     # ([K, C] keys) instead of the whole batch.  On text the initial
@@ -124,9 +131,9 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
                 jnp.int32(-1),
             )
 
-        rks = [rank] + [rank_at(i * k) for i in range(1, stride)]
+        rks = [rank] + [rank_at(i * k) for i in range(1, stride_full)]
         new_rank, unres = _segstart_ranks(rks, pos)
-        return new_rank, k * stride, unres
+        return new_rank, k * stride_full, unres
 
     rank, k_reached, unres = jax.lax.while_loop(
         cond_full, body_full, (rank, jnp.int32(4), unres)

@@ -299,21 +299,20 @@ def _init_tables(c0, c1, c2, rowa, rowb):
 def _rotate_c1_rows(c1, rowa, rowb, scal, c1_old, c1_new, active, lanes):
     """Byte-boundary C1 maintenance: write rowA back to C1[c1_old],
     rowB <- rowA (c2' = c1), rowA <- C1[c1_new].  Per-lane scalar
-    control via the VMEM scalar bridge."""
+    control via the VMEM scalar bridge.  The L=32 ablation matrix puts
+    this rotation at ~46% of the decode step, dominated by the bridge
+    reads — so (old, new, active) pack into ONE word per lane (one
+    scalar load instead of three)."""
     act_mask = jnp.broadcast_to(active[:, :1], rowb.shape)
     rowb[...] = jnp.where(act_mask, rowa[...], rowb[...])
-    scal[0] = c1_old
-    scal[1] = c1_new
-    scal[2] = active.astype(I32)
+    scal[0] = c1_old | (c1_new << 8) | (active.astype(I32) << 16)
     for l in range(lanes):
-        o = scal[0, l, 0] & 255
-        n = scal[1, l, 0] & 255
-        a = scal[2, l, 0]
+        w = scal[0, l, 0]
 
-        @pl.when((a == 1) & (o != n))
+        @pl.when((w >= 65536) & ((w & 255) != (_srl(w, 8) & 255)))
         def _():
-            c1[l, o, :] = rowa[l, :]
-            rowa[l, :] = c1[l, n, :]
+            c1[l, w & 255, :] = rowa[l, :]
+            rowa[l, :] = c1[l, _srl(w, 8) & 255, :]
         # o == n needs no write-back: the cache IS the row, nothing else
         # reads the backing c1 row, and any later fetch of row o can only
         # happen after a switch away from it — which writes back.  On
