@@ -72,6 +72,29 @@ def make_corpus(size: int, seed: int = 0) -> bytes:
     return b"".join(parts)[:size]
 
 
+def make_corpus_repeats(size: int, seed: int = 1) -> bytes:
+    """enwik-like corpus WITH long-range repeats: zipf text where
+    paragraphs repeat 1-3x, so the LZP pre-pass fires (~0.5 ratio).
+    The plain make_corpus is LZP-ADVERSARIAL (no >= 40-byte matches),
+    which makes it the device engine's worst case — real text is not
+    like that, so the bench reports both regimes."""
+    rng = np.random.default_rng(seed + 1)
+    base = make_corpus(size // 2 + (64 << 10), seed)
+    out = []
+    total = 0
+    i = 0
+    while total < size + 4096:
+        ln = int(rng.integers(512, 8192))
+        if i + ln >= len(base):
+            i = 0
+        para = base[i : i + ln]
+        i += ln
+        for _ in range(int(rng.integers(1, 4))):
+            out.append(para)
+            total += len(para)
+    return b"".join(out)[:size]
+
+
 def _ref_binary() -> str | None:
     """Compile the reference bzip3 (once) for live apples-to-apples
     numbers.  Benchmark tooling only — the reference sources never
@@ -263,6 +286,23 @@ def main():
                 int(dev_block_mib * (1 << 20)),
                 reps=int(os.environ.get("BENCH_DEVICE_REPS", "2")),
             )
+            if os.environ.get("BENCH_DEVICE_TEXT", "1") == "1":
+                # Same block size on the repeat-bearing corpus: the
+                # regime where the LZP pre-pass fires and the bucketed
+                # widths shrink every downstream stage.
+                dt = run_engine(
+                    dev,
+                    make_corpus_repeats(int(dev_mib * (1 << 20))),
+                    int(dev_block_mib * (1 << 20)),
+                    reps=2,
+                )
+                result["device_text_rt_MiBs"] = dt["rt_MiBs"]
+                result["device_text_encode_MiBs"] = dt["encode_MiBs"]
+                result["device_text_decode_MiBs"] = dt["decode_MiBs"]
+                result["device_text_ratio"] = dt["ratio"]
+                result["device_text_vs_baseline"] = round(
+                    dt["rt_MiBs"] / baseline, 4
+                )
             if with_device_b16:
                 # LANE-FILLED `-b 16`: a batch of 16 MiB blocks (not a
                 # single block starving the CM kernel's lane group) —

@@ -152,3 +152,29 @@ def test_device_prepass_full_chain(blocks, monkeypatch):
         assert e == encode_block(b)
     decoded = pipe.decode_blocks([(e, len(b)) for e, b in zip(encoded, blocks)])
     assert decoded == list(blocks)
+
+
+def test_difficulty_ordering_restores_block_order():
+    """Waves permute rows by BWT difficulty (pipeline._bwt_difficulty);
+    outputs must come back in the caller's order and byte-identical to
+    the oracle even when the wave mixes trivial and pathological rows."""
+    per = (b"qwertyui" * 1200)[:6000]
+    blocks2 = [
+        RNG.integers(0, 256, 5000, dtype=np.uint8).tobytes(),  # instant
+        per,                                                   # deep doubling
+        b"the quick brown fox jumps over the lazy dog. " * 150,
+        per[:4500],
+        RNG.integers(97, 123, 6500, dtype=np.uint8).tobytes(),
+        b"\x00" * 4800,
+    ]
+    pipe = DevicePipeline(8192)
+    diffs = [
+        __import__("bzip3_tpu.pipeline", fromlist=["_bwt_difficulty"])._bwt_difficulty(b)
+        for b in blocks2
+    ]
+    assert max(diffs) - min(diffs) > 0.05  # the permutation path engages
+    encoded = pipe.encode_blocks(blocks2)
+    for e, b in zip(encoded, blocks2):
+        assert e == encode_block(b)
+    decoded = pipe.decode_blocks([(e, len(b)) for e, b in zip(encoded, blocks2)])
+    assert decoded == blocks2
