@@ -396,14 +396,15 @@ class DevicePipeline:
     def __init__(self, block_size: int, use_rle: bool = True, use_lzp: bool = True):
         # Single-launch CM ceiling: the Pallas coder runs one fori_loop
         # launch per block batch; past ~2 minutes of kernel time the
-        # TPU runtime's watchdog KILLS THE WORKER (measured: a 64 Mi-
-        # step encode crashes it; 16 Mi steps — the `-b 16` headline —
-        # is validated).  Blocks above the cap need the multi-launch
-        # resumable-CM design (state spill/reload between launches,
-        # see PERF_NOTES R3.8) — until then, fail fast with a clear
-        # error instead of crashing the worker.  BWT itself is fine to
-        # >= 64 MiB (round-trip-exact on chip).
-        max_mib = float(os.environ.get("BZ3_TPU_MAX_DEVICE_BLOCK_MIB", "16"))
+        # TPU runtime's watchdog KILLS THE WORKER.  Measured: 64 Mi
+        # steps (~140 s) crashes it; 32 Mi steps (56 s encode / 62 s
+        # decode) survives and round-trips exactly, so `-b 32` is the
+        # validated device ceiling.  Blocks above it need the
+        # multi-launch resumable-CM design (state spill/reload between
+        # launches, PERF_NOTES R3.8) — until then, fail fast with a
+        # clear error instead of crashing the worker.  BWT itself is
+        # fine to >= 64 MiB (round-trip-exact on chip).
+        max_mib = float(os.environ.get("BZ3_TPU_MAX_DEVICE_BLOCK_MIB", "32"))
         if (
             block_size > int(max_mib * (1 << 20))
             and jax.default_backend() == "tpu"
