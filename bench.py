@@ -294,7 +294,7 @@ def main():
                     dev,
                     make_corpus_repeats(int(dev_mib * (1 << 20))),
                     int(dev_block_mib * (1 << 20)),
-                    reps=2,
+                    reps=1,
                 )
                 result["device_text_rt_MiBs"] = dt["rt_MiBs"]
                 result["device_text_encode_MiBs"] = dt["encode_MiBs"]
