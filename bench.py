@@ -22,6 +22,10 @@ The line always carries BOTH engines' numbers:
   no accelerator); BENCH_DEVICE_B16=0 skips the `-b 16` device probe
   (BENCH_DEVICE_B16_MIB, default 128, of 16 MiB blocks — LANE-FILLED,
   two extra multi-minute kernel compiles).
+- device_text_*: the same device probe on a corpus WITH long-range
+  repeats (make_corpus_repeats) — the plain corpus is LZP-adversarial
+  (no >= 40-byte matches), so it is the device engine's worst case;
+  enwik-class data runs ~1.8x faster (BENCH_DEVICE_TEXT=0 skips).
 - ref_pool_*: the compiled REFERENCE binary's own pthread pool on the
   same corpus/box (pool-vs-pool); vs_ref_pool is the honest ratio.
   vs_baseline stays vs the published single-thread 9.78 MiB/s
