@@ -346,6 +346,14 @@ def main():
         primary = device_stats
         primary_block = dev_block_mib
 
+    if os.environ.get("BZ3_TPU_PROFILE", "0") == "1":
+        # Per-stage wall times to stderr (stdout stays one JSON line).
+        try:
+            for pipe in getattr(dev, "_pipes", {}).values():
+                print(pipe.timer.summary(), file=sys.stderr)
+        except Exception:
+            pass
+
     signal.alarm(0)
     emit()
 
