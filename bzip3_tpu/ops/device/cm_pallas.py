@@ -386,47 +386,89 @@ def _renorm_count(lh, active):
 # ---------------------------------------------------------------------------
 
 
-def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True):
+def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True,
+                        resume=False, first=True, last=True):
     _ab = os.environ.get('BZ3_TPU_ABLATE', '')
     n_flushes = n_steps // 128
 
-    def kernel(
-        plen_ref,  # VMEM [L, 128] i32 (row-constant payload lengths)
-        olen_ref,  # VMEM [L, 128] i32 (row-constant output lengths)
-        hbm_in,  # ANY  [2, L, in_chunks/2... ] see call: [2, lanes, ...]
-        hbm_out,  # ANY  [L, n_steps] i32 (decoded bytes out)
-        # scratch:
-        c1,  # VMEM [L, 256, 128] i32 (pair-packed rows)
-        rowa,  # VMEM [L, 128] pair-packed C1[c1] row
-        rowb,  # VMEM [L, 128] pair-packed C1[c2] row
-        win,  # VMEM [2, L, 8, 128] input staging (slot-leading)
-        ob,  # VMEM [2, L, 128] output staging
-        scal,  # VMEM [4, L, 128] scalar bridge (+row 3 = staged-high)
-        c0_0, c0_1, c0_2, c0_3, c0_4, c0_5, c0_6, c0_7,
-        c2_0, c2_1, c2_2, c2_3, c2_4, c2_5, c2_6, c2_7,
-        in_sems,  # DMA [L]
-        out_sems,  # DMA [2]
-    ):
+    def kernel(*refs):
+        if resume:
+            # inputs aliased to outputs (same buffers): prev output,
+            # regs, c1/small/c2 table spills
+            (plen_ref, olen_ref, start_ref, hbm_in,
+             _prev, _rgs, _c1i, _smi, _c2i,
+             hbm_out, regs_st, c1_st, small_st, c2_st,
+             c1, rowa, rowb, win, ob, scal,
+             c0_0, c0_1, c0_2, c0_3, c0_4, c0_5, c0_6, c0_7,
+             c2_0, c2_1, c2_2, c2_3, c2_4, c2_5, c2_6, c2_7,
+             regs_v,
+             in_sems, out_sems, st_sem) = refs
+        else:
+            (plen_ref, olen_ref, hbm_in, hbm_out,
+             c1, rowa, rowb, win, ob, scal,
+             c0_0, c0_1, c0_2, c0_3, c0_4, c0_5, c0_6, c0_7,
+             c2_0, c2_1, c2_2, c2_3, c2_4, c2_5, c2_6, c2_7,
+             in_sems, out_sems) = refs
         c0 = [c0_0, c0_1, c0_2, c0_3, c0_4, c0_5, c0_6, c0_7]
         c2 = [c2_0, c2_1, c2_2, c2_3, c2_4, c2_5, c2_6, c2_7]
         plen = plen_ref[...]
         olen = olen_ref[...]
+        zeros = jnp.zeros((lanes, 128), I32)
+        col128i = jax.lax.broadcasted_iota(I32, (lanes, 128), 1)
+        if resume:
+            start = start_ref[0, 0]
+            stop = start_ref[0, 1]
+        else:
+            start = jnp.int32(0)
+            stop = jnp.int32(n_steps)
 
-        _init_tables(c0, c1, c2, rowa, rowb)
+        if first:
+            _init_tables(c0, c1, c2, rowa, rowb)
 
-        # ---- initial input window: chunks 0 and 1, all lanes ---------
-        for h in range(2):
-            cp = pltpu.make_async_copy(hbm_in.at[h, :, 0], win.at[h], in_sems.at[0])
+            # ---- initial input window: chunks 0 and 1, all lanes ------
+            for h in range(2):
+                cp = pltpu.make_async_copy(
+                    hbm_in.at[h, :, 0], win.at[h], in_sems.at[0]
+                )
+                cp.start()
+                cp.wait()
+
+            low = zeros
+            high = jnp.full((lanes, 128), -1, I32)
+            code = zeros
+            ip = zeros
+            base = zeros
+        else:
+            _load_tables_in(c1, rowa, rowb, c0, c2, c1_st, small_st,
+                            c2_st, st_sem, lanes)
+            cp = pltpu.make_async_copy(regs_st, regs_v, st_sem)
             cp.start()
             cp.wait()
+            low = regs_v[0]
+            high = regs_v[1]
+            code = regs_v[2]
+            ip = regs_v[3]
+            c1v0 = regs_v[4]
+            c2v0 = regs_v[5]
+            runv0 = regs_v[6]
+            # re-prime the per-lane staging window at the chunks the
+            # cursors sit in (the maintenance loop's own DMA pattern)
+            scal[0] = ip
+            for l in range(lanes):
+                ipl = scal[0, l, 0]
+                for dl in range(2):
+                    chunk = _srl(ipl, 10) + dl
 
-        zeros = jnp.zeros((lanes, 128), I32)
-        low = zeros
-        high = jnp.full((lanes, 128), -1, I32)
-        code = zeros
-        ip = zeros
-        base = zeros
-        col128i = jax.lax.broadcasted_iota(I32, (lanes, 128), 1)
+                    @pl.when(chunk < in_chunks)
+                    def _():
+                        cp = pltpu.make_async_copy(
+                            hbm_in.at[chunk & 1, l, _srl(chunk, 1)],
+                            win.at[chunk & 1, l],
+                            in_sems.at[l],
+                        )
+                        cp.start()
+                        cp.wait()
+            base = ip & ~jnp.int32(127)
 
         def _pack_words(base):
             """Packed 4-byte lookahead words from the 384-byte carry:
@@ -468,15 +510,22 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True):
             return jnp.where(ipv < plen, b, jnp.int32(-1))
 
         pk0, pk1, pk2 = _pack_words(base)
-        for _ in range(4):
-            code = (code << 8) + read_byte(pk0, pk1, pk2, base, ip)
-            ip = ip + 1
-
-        scal[3] = jnp.full((lanes, 128), 2048, I32)  # staged-high (absolute)
-
-        c1v = zeros
-        c2v = zeros
-        runv = zeros
+        if first:
+            for _ in range(4):
+                code = (code << 8) + read_byte(pk0, pk1, pk2, base, ip)
+                ip = ip + 1
+            # staged-high water mark (absolute bytes DMA'd per lane)
+            scal[3] = jnp.full((lanes, 128), 2048, I32)
+            c1v = zeros
+            c2v = zeros
+            runv = zeros
+        else:
+            scal[3] = jnp.minimum(
+                (_srl(ip, 10) + 2) << 10, jnp.int32(in_chunks) << 10
+            )
+            c1v = c1v0
+            c2v = c2v0
+            runv = runv0
 
         # Exhaustion corrections: the packed lookahead holds 0xFF for
         # bytes at/past plen, but the reference's refill semantics is
@@ -692,7 +741,10 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True):
                 # (i>>7)*128 is provably 128-aligned (i-127 is not).
                 off = pl.multiple_of((i >> 7) * 128, 128)
 
-                @pl.when(i >= 256)
+                # only wait for DMAs issued THIS launch (semaphores do
+                # not carry across resumable launches; the drain below
+                # settles everything at each launch end)
+                @pl.when(i - start >= 256)
                 def _():
                     off_prev = pl.multiple_of(((i >> 7) - 2) * 128, 128)
                     pltpu.make_async_copy(
@@ -761,7 +813,34 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True):
 
         carry = (low, high, code, ip, base, pk0, pk1, pk2,
                  c1v, c2v, runv, zeros)
-        carry = jax.lax.fori_loop(0, n_steps, body, carry)
+        carry = jax.lax.fori_loop(start, stop, body, carry)
+
+        if resume:
+            # drain THIS launch's last two output flushes (chunks are
+            # multiples of 256 steps, so both exist), then spill.
+            fl = _srl(stop, 7)  # flush count through `stop`
+            for back in (1, 2):
+                pltpu.make_async_copy(
+                    ob.at[(fl - back) & 1],
+                    hbm_out.at[:, pl.ds(pl.multiple_of((fl - back) * 128, 128), 128)],
+                    out_sems.at[(fl - back) & 1],
+                ).wait()
+            low, high, code, ip, _b, _p0, _p1, _p2, c1v, c2v, runv, _ob = carry
+            regs_v[0] = low
+            regs_v[1] = high
+            regs_v[2] = code
+            regs_v[3] = ip
+            regs_v[4] = c1v
+            regs_v[5] = c2v
+            regs_v[6] = runv
+            regs_v[7] = zeros
+            cp = pltpu.make_async_copy(regs_v, regs_st, st_sem)
+            cp.start()
+            cp.wait()
+            if not last:
+                _spill_tables_out(c1, rowa, rowb, c0, c2, c1_st, small_st,
+                                  c2_st, st_sem, lanes)
+            return
 
         # drain outstanding output DMAs
         if n_flushes >= 1:
@@ -825,6 +904,86 @@ def _decode_call(payload, plens, olens, lanes, n_steps, in_chunks, interpret, sp
     return out
 
 
+@partial(jax.jit, static_argnames=(
+    "lanes", "n_steps", "in_chunks", "interpret", "spec", "first", "last"))
+def _decode_call_resume(payload, plens, olens, startstop, out_prev,
+                        regs, c1s, smalls, c2s,
+                        lanes, n_steps, in_chunks, interpret, spec,
+                        first, last):
+    kern = _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=spec,
+                               resume=True, first=first, last=last)
+    outs = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((lanes, n_steps), I32),
+            jax.ShapeDtypeStruct((8, lanes, 128), I32),
+            jax.ShapeDtypeStruct((lanes, 256, 128), I32),
+            jax.ShapeDtypeStruct((10, lanes, 128), I32),
+            jax.ShapeDtypeStruct((lanes, _C2_SUM), I32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # plen
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # olen (lengths)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # startstop (1,2)
+            pl.BlockSpec(memory_space=pl.ANY),       # hbm_in
+            pl.BlockSpec(memory_space=pl.ANY),       # prev out (alias)
+            pl.BlockSpec(memory_space=pl.ANY),       # regs (alias)
+            pl.BlockSpec(memory_space=pl.ANY),       # c1 (alias)
+            pl.BlockSpec(memory_space=pl.ANY),       # small (alias)
+            pl.BlockSpec(memory_space=pl.ANY),       # c2 (alias)
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3, 8: 4},
+        scratch_shapes=[
+            pltpu.VMEM((lanes, 256, 128), I32),
+            pltpu.VMEM((lanes, 128), I32),
+            pltpu.VMEM((lanes, 128), I32),
+            pltpu.VMEM((2, lanes, 8, 128), I32),
+            pltpu.VMEM((2, lanes, 128), I32),
+            pltpu.VMEM((4, lanes, 128), I32),
+            *_c0_shapes(lanes),
+            *_c2_shapes(lanes),
+            pltpu.VMEM((8, lanes, 128), I32),
+            pltpu.SemaphoreType.DMA((lanes,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(
+        jnp.broadcast_to(plens[:, None].astype(I32), (lanes, 128)),
+        jnp.broadcast_to(olens[:, None].astype(I32), (lanes, 128)),
+        startstop,
+        payload,
+        out_prev, regs, c1s, smalls, c2s,
+    )
+    return outs
+
+
+def _decode_resumable(pay, pl_, ol, lanes, n_steps, in_chunks, interpret, spec):
+    out_buf = jnp.zeros((lanes, n_steps), I32)
+    regs = jnp.zeros((8, lanes, 128), I32)
+    c1s = jnp.zeros((lanes, 256, 128), I32)
+    smalls = jnp.zeros((10, lanes, 128), I32)
+    c2s = jnp.zeros((lanes, _C2_SUM), I32)
+    starts = list(range(0, n_steps, _CM_CHUNK_STEPS))
+    for j, s in enumerate(starts):
+        e = min(s + _CM_CHUNK_STEPS, n_steps)
+        ss = jnp.asarray(np.array([[s, e]], np.int32))
+        out_buf, regs, c1s, smalls, c2s = _decode_call_resume(
+            pay, pl_, ol, ss, out_buf, regs, c1s, smalls, c2s,
+            lanes=lanes, n_steps=n_steps, in_chunks=in_chunks,
+            interpret=interpret, spec=spec,
+            first=(j == 0), last=(j == len(starts) - 1),
+        )
+    return out_buf
+
+
 def _pick_lanes(k_dim: int, lanes: int | None, cap_default: int = 32) -> int:
     """Default lane count: smallest power of two >= k_dim, clamped to
     [8, BZ3_TPU_CM_LANES (default 32)].  Measured on chip (packed
@@ -874,7 +1033,12 @@ def cm_decode_pallas_batch(
         pay = pay.reshape(lanes, in_chunks // 2, 2, 8, 128).transpose(2, 0, 1, 3, 4)
         pl_ = jnp.zeros((lanes,), I32).at[:rows].set(in_lens[g : g + rows].astype(I32))
         ol = jnp.zeros((lanes,), I32).at[:rows].set(out_lens[g : g + rows].astype(I32))
-        out = _decode_call(pay, pl_, ol, lanes, n_steps, in_chunks, interpret, spec)
+        if n_steps > _CM_CHUNK_STEPS or os.environ.get("BZ3_TPU_CM_RESUME", "0") == "1":
+            out = _decode_resumable(
+                pay, pl_, ol, lanes, n_steps, in_chunks, interpret, spec
+            )
+        else:
+            out = _decode_call(pay, pl_, ol, lanes, n_steps, in_chunks, interpret, spec)
         outs.append(out[:rows, :out_width].astype(jnp.uint8))
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
@@ -884,45 +1048,154 @@ def cm_decode_pallas_batch(
 # ---------------------------------------------------------------------------
 
 
-def _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=True):
-    def kernel(
-        ilen_ref,  # VMEM [L, 128] i32 input lengths
-        hbm_in,  # ANY [L, n_steps] i32 input bytes
-        hbm_out,  # ANY [2, L, out_chunks//2, 8, 128] i32 (slot-split)
-        olen_ref,  # VMEM [L, 128] i32 output lengths (out)
-        # scratch
-        c1, rowa, rowb,
-        ib,  # VMEM [2, L, 128] input staging
-        wst,  # VMEM [2, L, 8, 128] output staging (slot-leading)
-        scal,  # VMEM [3, L, 128]
-        c0_0, c0_1, c0_2, c0_3, c0_4, c0_5, c0_6, c0_7,
-        c2_0, c2_1, c2_2, c2_3, c2_4, c2_5, c2_6, c2_7,
-        in_sems,  # DMA [2]
-        out_sems,  # DMA [L]
-    ):
+# State layout for RESUMABLE launches (blocks whose CM run would trip
+# the TPU runtime's ~2-minute kernel-duration watchdog split into
+# multiple launches, PERF_NOTES R3.8).  Between launches the adaptive
+# tables spill to HBM in/out refs and the per-lane registers ride one
+# [8, L, 128] array; the input/output DMA pipelines re-prime from the
+# absolute cursors.  Chunk boundaries are multiples of 256 steps so
+# the staging double-buffers' slot parity and the output flush
+# alignment carry over unchanged.
+_ENC_REGS = ("low", "high", "optr", "moved", "c1v", "c2v", "runv")
+_DEC_REGS = ("low", "high", "code", "ip", "c1v", "c2v", "runv")
+# per-launch step chunk (multiple of 256); 16 Mi steps ~= 60 s of
+# kernel time, safely under the watchdog
+_CM_CHUNK_STEPS = (int(os.environ.get("BZ3_TPU_CM_CHUNK_MI", "16")) << 20)
+_C2_SUM = sum(-(-(17 << t) // 128) * 128 for t in range(8))
+
+
+def _c2_offsets(lanes):
+    """Static column offsets of each packed C2_t inside one [L, sumW]
+    spill buffer (widths are 128-multiples, so slices DMA cleanly)."""
+    offs = []
+    off = 0
+    for t in range(8):
+        w = -(-(17 << t) // 128) * 128
+        offs.append((off, w))
+        off += w
+    return offs, off
+
+
+def _spill_tables_out(c1, rowa, rowb, c0, c2, c1_out, small_out, c2_out, sem, lanes):
+    cp = pltpu.make_async_copy(c1, c1_out, sem)
+    cp.start()
+    cp.wait()
+    for j, ref in enumerate(c0 + [rowa, rowb]):
+        cp = pltpu.make_async_copy(ref, small_out.at[j], sem)
+        cp.start()
+        cp.wait()
+    offs, _ = _c2_offsets(lanes)
+    for t in range(8):
+        off, w = offs[t]
+        cp = pltpu.make_async_copy(c2[t], c2_out.at[:, pl.ds(off, w)], sem)
+        cp.start()
+        cp.wait()
+
+
+def _load_tables_in(c1, rowa, rowb, c0, c2, c1_in, small_in, c2_in, sem, lanes):
+    cp = pltpu.make_async_copy(c1_in, c1, sem)
+    cp.start()
+    cp.wait()
+    for j, ref in enumerate(c0 + [rowa, rowb]):
+        cp = pltpu.make_async_copy(small_in.at[j], ref, sem)
+        cp.start()
+        cp.wait()
+    offs, _ = _c2_offsets(lanes)
+    for t in range(8):
+        off, w = offs[t]
+        cp = pltpu.make_async_copy(c2_in.at[:, pl.ds(off, w)], c2[t], sem)
+        cp.start()
+        cp.wait()
+
+
+def _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=True,
+                        resume=False, first=True, last=True):
+    """resume=False is the original single-launch kernel; resume=True
+    adds spill/reload refs and runs steps [start, start+chunk) of the
+    absolute loop (start from an SMEM scalar, a multiple of 256)."""
+
+    def kernel(*refs):
+        if resume:
+            # state arrays are INPUT-OUTPUT ALIASED (same buffers in
+            # and out), so each launch continues where the previous
+            # stopped — including hbm_out, which accumulates flushed
+            # slots across launches.
+            (ilen_ref, start_ref, hbm_in, _o, _c1s, _sms, _c2s, _rgs,
+             _wvs, _wsts,
+             hbm_out, olen_ref,
+             c1_st, small_st, c2_st, regs_st, wv_st, wst_st,
+             c1, rowa, rowb, ib, wst, scal,
+             c0_0, c0_1, c0_2, c0_3, c0_4, c0_5, c0_6, c0_7,
+             c2_0, c2_1, c2_2, c2_3, c2_4, c2_5, c2_6, c2_7,
+             regs_v, wv_v,
+             in_sems, out_sems, st_sem) = refs
+        else:
+            (ilen_ref, hbm_in, hbm_out, olen_ref,
+             c1, rowa, rowb, ib, wst, scal,
+             c0_0, c0_1, c0_2, c0_3, c0_4, c0_5, c0_6, c0_7,
+             c2_0, c2_1, c2_2, c2_3, c2_4, c2_5, c2_6, c2_7,
+             in_sems, out_sems) = refs
         c0 = [c0_0, c0_1, c0_2, c0_3, c0_4, c0_5, c0_6, c0_7]
         c2 = [c2_0, c2_1, c2_2, c2_3, c2_4, c2_5, c2_6, c2_7]
         ilen = ilen_ref[...]
 
-        _init_tables(c0, c1, c2, rowa, rowb)
+        zeros = jnp.zeros((lanes, 128), I32)
+        if resume:
+            start = start_ref[0, 0]
+            stop = start_ref[0, 1]
+        else:
+            start = jnp.int32(0)
+            stop = jnp.int32(n_steps)
 
-        # prime the input pipeline
-        pltpu.make_async_copy(
-            hbm_in.at[:, pl.ds(0, 128)], ib.at[0], in_sems.at[0]
-        ).start()
-        if n_steps > 128:
+        if first:
+            _init_tables(c0, c1, c2, rowa, rowb)
+            low = zeros
+            high = jnp.full((lanes, 128), -1, I32)
+            optr = zeros
+            moved = zeros
+            c1v = zeros
+            c2v = zeros
+            runv = zeros
+        else:
+            _load_tables_in(c1, rowa, rowb, c0, c2, c1_st, small_st,
+                            c2_st, st_sem, lanes)
+            cp = pltpu.make_async_copy(wst_st, wst, st_sem)
+            cp.start()
+            cp.wait()
+            cp = pltpu.make_async_copy(regs_st, regs_v, st_sem)
+            cp.start()
+            cp.wait()
+            cp = pltpu.make_async_copy(wv_st, wv_v, st_sem)
+            cp.start()
+            cp.wait()
+            low = regs_v[0]
+            high = regs_v[1]
+            optr = regs_v[2]
+            moved = regs_v[3]
+            c1v = regs_v[4]
+            c2v = regs_v[5]
+            runv = regs_v[6]
+
+        # prime the input pipeline at the launch's first chunk; the
+        # body prefetches k+1 itself from the second chunk on (at the
+        # very first chunk of the FIRST launch the body's i >= 128
+        # guard suppresses that, so prime chunk 1 here too).
+        if first:
             pltpu.make_async_copy(
-                hbm_in.at[:, pl.ds(128, 128)], ib.at[1], in_sems.at[1]
+                hbm_in.at[:, pl.ds(0, 128)], ib.at[0], in_sems.at[0]
+            ).start()
+            if n_steps > 128:
+                pltpu.make_async_copy(
+                    hbm_in.at[:, pl.ds(128, 128)], ib.at[1], in_sems.at[1]
+                ).start()
+        else:
+            k0 = _srl(start, 7)
+            pltpu.make_async_copy(
+                hbm_in.at[:, pl.ds(pl.multiple_of(start, 128), 128)],
+                ib.at[k0 & 1],
+                in_sems.at[k0 & 1],
             ).start()
 
-        zeros = jnp.zeros((lanes, 128), I32)
-        low = zeros
-        high = jnp.full((lanes, 128), -1, I32)
-        optr = zeros
-        moved = zeros  # bytes moved from the register carry into staging
-        c1v = zeros
-        c2v = zeros
-        runv = zeros
         wcol_iota = jax.lax.broadcasted_iota(I32, (lanes, 256), 1)
 
         def emit(wv, optr, low, do):
@@ -1119,9 +1392,50 @@ def _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=True):
 
             return (low, high, optr, moved, c1v, c2v, runv, wv)
 
-        carry = (low, high, optr, moved, c1v, c2v, runv, jnp.zeros((lanes, 256), I32))
-        carry = jax.lax.fori_loop(0, n_steps, body, carry)
+        wv0 = wv_v[...] if (resume and not first) else jnp.zeros((lanes, 256), I32)
+        carry = (low, high, optr, moved, c1v, c2v, runv, wv0)
+        carry = jax.lax.fori_loop(start, stop, body, carry)
         low, high, optr, moved, c1v, c2v, runv, wv = carry
+
+        if resume and not last:
+            # drain the dangling input prefetch: the body's last chunk
+            # wait (at i = stop-128) also STARTED the DMA for chunk
+            # stop>>7, which the single-launch tail would have waited
+            # on at the next step — an in-flight DMA at kernel exit
+            # kills the worker.
+            kl = _srl(stop, 7)
+
+            @pl.when(kl * 128 < jnp.int32(n_steps))
+            def _():
+                pltpu.make_async_copy(
+                    hbm_in.at[:, pl.ds(pl.multiple_of(kl * 128, 128), 128)],
+                    ib.at[kl & 1],
+                    in_sems.at[kl & 1],
+                ).wait()
+
+            # spill everything the next launch needs and stop here
+            regs_v[0] = low
+            regs_v[1] = high
+            regs_v[2] = optr
+            regs_v[3] = moved
+            regs_v[4] = c1v
+            regs_v[5] = c2v
+            regs_v[6] = runv
+            regs_v[7] = zeros
+            wv_v[...] = wv
+            cp = pltpu.make_async_copy(regs_v, regs_st, st_sem)
+            cp.start()
+            cp.wait()
+            cp = pltpu.make_async_copy(wv_v, wv_st, st_sem)
+            cp.start()
+            cp.wait()
+            cp = pltpu.make_async_copy(wst, wst_st, st_sem)
+            cp.start()
+            cp.wait()
+            olen_ref[...] = optr
+            _spill_tables_out(c1, rowa, rowb, c0, c2, c1_st, small_st,
+                              c2_st, st_sem, lanes)
+            return
 
         # final 4 flush bytes (src/libbz3.c:426-433)
         ones = jnp.ones((lanes, 128), jnp.bool_)
@@ -1196,6 +1510,100 @@ def _encode_call(data, ilens, lanes, n_steps, out_chunks, interpret, spec=False)
     return out, olens
 
 
+@partial(jax.jit, static_argnames=(
+    "lanes", "n_steps", "out_chunks", "interpret", "spec", "first", "last"))
+def _encode_call_resume(data, ilens, startstop, out_prev, c1s, smalls,
+                        c2s, regs, wv, wstb,
+                        lanes, n_steps, out_chunks, interpret, spec,
+                        first, last):
+    """One launch of the RESUMABLE encode (steps [start, stop) from the
+    SMEM startstop pair); all state arrays are input-output aliased."""
+    kern = _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=spec,
+                               resume=True, first=first, last=last)
+    outs = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((2, lanes, out_chunks // 2, 8, 128), I32),
+            jax.ShapeDtypeStruct((lanes, 128), I32),
+            jax.ShapeDtypeStruct((lanes, 256, 128), I32),
+            jax.ShapeDtypeStruct((10, lanes, 128), I32),
+            jax.ShapeDtypeStruct((lanes, _C2_SUM), I32),
+            jax.ShapeDtypeStruct((8, lanes, 128), I32),
+            jax.ShapeDtypeStruct((lanes, 256), I32),
+            jax.ShapeDtypeStruct((2, lanes, 8, 128), I32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ilen
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # startstop (1,2)
+            pl.BlockSpec(memory_space=pl.ANY),       # hbm_in
+            pl.BlockSpec(memory_space=pl.ANY),       # out_prev (alias)
+            pl.BlockSpec(memory_space=pl.ANY),       # c1 state (alias)
+            pl.BlockSpec(memory_space=pl.ANY),       # small state (alias)
+            pl.BlockSpec(memory_space=pl.ANY),       # c2 state (alias)
+            pl.BlockSpec(memory_space=pl.ANY),       # regs (alias)
+            pl.BlockSpec(memory_space=pl.ANY),       # wv (alias)
+            pl.BlockSpec(memory_space=pl.ANY),       # wst (alias)
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        input_output_aliases={3: 0, 4: 2, 5: 3, 6: 4, 7: 5, 8: 6, 9: 7},
+        scratch_shapes=[
+            pltpu.VMEM((lanes, 256, 128), I32),
+            pltpu.VMEM((lanes, 128), I32),
+            pltpu.VMEM((lanes, 128), I32),
+            pltpu.VMEM((2, lanes, 128), I32),
+            pltpu.VMEM((2, lanes, 8, 128), I32),
+            pltpu.VMEM((3, lanes, 128), I32),
+            *_c0_shapes(lanes),
+            *_c2_shapes(lanes),
+            pltpu.VMEM((8, lanes, 128), I32),
+            pltpu.VMEM((lanes, 256), I32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((lanes,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(
+        jnp.broadcast_to(ilens[:, None].astype(I32), (lanes, 128)),
+        startstop,
+        data,
+        out_prev, c1s, smalls, c2s, regs, wv, wstb,
+    )
+    return outs
+
+
+def _encode_resumable(arr, il, lanes, n_steps, out_chunks, interpret, spec):
+    """Multi-launch encode for blocks whose single launch would trip
+    the kernel-duration watchdog (PERF_NOTES R3.8)."""
+    out_buf = jnp.zeros((2, lanes, out_chunks // 2, 8, 128), I32)
+    c1s = jnp.zeros((lanes, 256, 128), I32)
+    smalls = jnp.zeros((10, lanes, 128), I32)
+    c2s = jnp.zeros((lanes, _C2_SUM), I32)
+    regs = jnp.zeros((8, lanes, 128), I32)
+    wv = jnp.zeros((lanes, 256), I32)
+    wstb = jnp.zeros((2, lanes, 8, 128), I32)
+    starts = list(range(0, n_steps, _CM_CHUNK_STEPS))
+    olens = None
+    for j, s in enumerate(starts):
+        e = min(s + _CM_CHUNK_STEPS, n_steps)
+        ss = jnp.asarray(np.array([[s, e]], np.int32))
+        (out_buf, olens, c1s, smalls, c2s, regs, wv, wstb) = _encode_call_resume(
+            arr, il, ss, out_buf, c1s, smalls, c2s, regs, wv, wstb,
+            lanes=lanes, n_steps=n_steps, out_chunks=out_chunks,
+            interpret=interpret, spec=spec,
+            first=(j == 0), last=(j == len(starts) - 1),
+        )
+    return out_buf, olens
+
+
 def cm_encode_pallas_batch(
     data: jax.Array,
     lengths: jax.Array,
@@ -1228,7 +1636,12 @@ def cm_encode_pallas_batch(
         arr = jnp.zeros((lanes, n_steps), I32)
         arr = arr.at[:rows, :n].set(data[g : g + rows].astype(I32))
         il = jnp.zeros((lanes,), I32).at[:rows].set(lengths[g : g + rows].astype(I32))
-        out, olens = _encode_call(arr, il, lanes, n_steps, out_chunks, interpret, spec)
+        if n_steps > _CM_CHUNK_STEPS or os.environ.get("BZ3_TPU_CM_RESUME", "0") == "1":
+            out, olens = _encode_resumable(
+                arr, il, lanes, n_steps, out_chunks, interpret, spec
+            )
+        else:
+            out, olens = _encode_call(arr, il, lanes, n_steps, out_chunks, interpret, spec)
         # unsplit the slot-major 5-D output back to [L, w_pad]
         out = out.transpose(1, 2, 0, 3, 4).reshape(lanes, w_pad)
         outs.append(out[:rows, :w].astype(jnp.uint8))

@@ -222,6 +222,50 @@ def decode_core_full(payload, payload_lens, sbb_lens, bwt_idx, models, orig_size
 
 
 @jax.jit
+def bwt_fwd_core(cur, cur_lens):
+    """Grouped BWT forward as its own program (used when the CM stage
+    runs as RESUMABLE multi-launches: fusing a 64 MiB BWT with four CM
+    launches into one program crashed the worker — HBM pressure from
+    the chained buffers; unfused, each piece is validated)."""
+    k_dim, n = cur.shape
+    g = _bwt_row_groups(k_dim, n)
+    if g < k_dim:
+        parts = [
+            bwt_forward_batch(cur[s : s + g], cur_lens[s : s + g])
+            for s in range(0, k_dim, g)
+        ]
+        return (
+            jnp.concatenate([p[0] for p in parts], axis=0),
+            jnp.concatenate([p[1] for p in parts], axis=0),
+        )
+    return bwt_forward_batch(cur, cur_lens)
+
+
+@partial(jax.jit, static_argnames=())
+def bwt_inv_core(u, sbb_lens, bwt_idx):
+    k_dim, n = u.shape
+    g = _bwt_row_groups(k_dim, n)
+    if g < k_dim:
+        return jnp.concatenate(
+            [
+                bwt_inverse_batch(u[s : s + g], sbb_lens[s : s + g], bwt_idx[s : s + g])
+                for s in range(0, k_dim, g)
+            ],
+            axis=0,
+        )
+    return bwt_inverse_batch(u, sbb_lens, bwt_idx)
+
+
+def _cm_resumable_width(width: int) -> bool:
+    """True when the CM stage will split into resumable launches."""
+    if _cm_impl() != "pallas":
+        return False
+    from .ops.device.cm_pallas import _CM_CHUNK_STEPS
+
+    return width > _CM_CHUNK_STEPS
+
+
+@jax.jit
 def encode_core_hostcrc(cur, cur_lens):
     """Device encode stages when the checksum is host-side: BWT → CM.
 
@@ -394,17 +438,16 @@ class DevicePipeline:
     """
 
     def __init__(self, block_size: int, use_rle: bool = True, use_lzp: bool = True):
-        # Single-launch CM ceiling: the Pallas coder runs one fori_loop
-        # launch per block batch; past ~2 minutes of kernel time the
-        # TPU runtime's watchdog KILLS THE WORKER.  Measured: 64 Mi
-        # steps (~140 s) crashes it; 32 Mi steps (56 s encode / 62 s
-        # decode) survives and round-trips exactly, so `-b 32` is the
-        # validated device ceiling.  Blocks above it need the
-        # multi-launch resumable-CM design (state spill/reload between
-        # launches, PERF_NOTES R3.8) — until then, fail fast with a
-        # clear error instead of crashing the worker.  BWT itself is
-        # fine to >= 64 MiB (round-trip-exact on chip).
-        max_mib = float(os.environ.get("BZ3_TPU_MAX_DEVICE_BLOCK_MIB", "32"))
+        # Device block ceiling.  The TPU runtime's kernel-duration
+        # watchdog kills the worker past ~2 minutes of kernel time
+        # (measured: a 64 Mi-step single CM launch crashes it, 32 Mi
+        # survives) — the RESUMABLE CM (state spill/reload between
+        # <= 16 Mi-step launches, PERF_NOTES R3.8) removes that limit,
+        # so the remaining cap is HBM: the CM lane group pads to 8
+        # rows, and at 64 MiB blocks the staged arrays + the BWT sort
+        # working set already reach ~6 GiB of the 16 GiB chip; 128 MiB
+        # would not fit.  64 MiB is validated end-to-end on chip.
+        max_mib = float(os.environ.get("BZ3_TPU_MAX_DEVICE_BLOCK_MIB", "64"))
         if (
             block_size > int(max_mib * (1 << 20))
             and jax.default_backend() == "tpu"
@@ -412,9 +455,9 @@ class DevicePipeline:
             raise Bz3Error(
                 BZ3_ERR_MALFORMED_HEADER,
                 f"device engine: block size {block_size} exceeds the "
-                f"single-CM-launch cap ({int(max_mib)} MiB; kernel-"
-                "duration watchdog) — use the native engine or raise "
-                "BZ3_TPU_MAX_DEVICE_BLOCK_MIB at your own risk",
+                f"device HBM cap ({int(max_mib)} MiB) — use the native "
+                "engine or raise BZ3_TPU_MAX_DEVICE_BLOCK_MIB at your "
+                "own risk",
             )
         self.block_size = block_size
         self.width = _round_up(max(64, block_size), 256)
@@ -570,8 +613,24 @@ class DevicePipeline:
                     outs = encode_core_full(orig_arr, orig_lens)
                 elif host_crc:
                     core = self.encode_core_hostcrc_fn or encode_core_hostcrc
-                    idx, payload, plens, ok = core(cur_arr, cur_lens)
-                    outs = (crcs, idx, payload, plens, ok)
+                    if core is encode_core_hostcrc and _cm_resumable_width(cw):
+                        # Resumable-CM regime: the CM stage runs as a
+                        # chain of launches with state spilled between
+                        # them.  Fusing that chain with the BWT into one
+                        # program crashed the worker at 64 MiB (HBM
+                        # pressure); dispatched separately each program
+                        # is validated on chip.
+                        from .ops.device.cm_pallas import (
+                            cm_encode_pallas_batch,
+                        )
+
+                        u, idx = bwt_fwd_core(cur_arr, cur_lens)
+                        payload, plens = cm_encode_pallas_batch(u, cur_lens)
+                        outs = (crcs, idx, payload, plens,
+                                plens <= payload.shape[1])
+                    else:
+                        idx, payload, plens, ok = core(cur_arr, cur_lens)
+                        outs = (crcs, idx, payload, plens, ok)
                 else:
                     outs = self.encode_core_fn(
                         orig_arr, orig_lens, cur_arr, cur_lens
@@ -758,13 +817,28 @@ class DevicePipeline:
                     # CM decode steps and the inverse-BWT arrays scale
                     # with this width, so post-LZP shrink is captured.
                     ow = self._bucket_width(max(1, max(sbbs[sl], default=1)))
-                    data = self.decode_core_fn(
-                        pay_arr,
-                        pay_lens,
-                        jnp.asarray(sbb_w),
-                        jnp.asarray(idx_w),
-                        ow,
-                    )
+                    if self.decode_core_fn is decode_core and _cm_resumable_width(ow):
+                        # Resumable-CM regime: dispatch the CM launch
+                        # chain and the inverse BWT as separate programs
+                        # (see encode side for why fusing crashes).
+                        from .ops.device.cm_pallas import (
+                            cm_decode_pallas_batch,
+                        )
+
+                        u = cm_decode_pallas_batch(
+                            pay_arr, pay_lens, jnp.asarray(sbb_w), ow
+                        )
+                        data = bwt_inv_core(
+                            u, jnp.asarray(sbb_w), jnp.asarray(idx_w)
+                        )
+                    else:
+                        data = self.decode_core_fn(
+                            pay_arr,
+                            pay_lens,
+                            jnp.asarray(sbb_w),
+                            jnp.asarray(idx_w),
+                            ow,
+                        )
                     # Rows only hold sbb bytes (the post-LZP/RLE size,
                     # typically well under the block width) — slice on
                     # device before the pull, then stream it back while

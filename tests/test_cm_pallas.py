@@ -76,3 +76,33 @@ def test_cm_pallas_decode_bit_exact(blocks, spec):
     )
     for i, b in enumerate(blocks):
         assert dec[i, : lens[i]].tobytes() == b, f"block {i}"
+
+
+@pytest.mark.parametrize("spec", [False, True])
+def test_cm_pallas_resumable_multilaunch(blocks, spec, monkeypatch):
+    """RESUMABLE launches (state spill/reload between kernel calls,
+    PERF_NOTES R3.8) must be byte-exact in both directions.  The chunk
+    is shrunk so these small blocks split into several launches."""
+    import bzip3_tpu.ops.device.cm_pallas as cmp_
+
+    monkeypatch.setattr(cmp_, "_CM_CHUNK_STEPS", 512)
+    monkeypatch.setenv("BZ3_TPU_CM_RESUME", "1")
+    n = max(len(b) for b in blocks)
+    data, lens = _pad(blocks, max(1024, n))
+    out, olens = cmp_.cm_encode_pallas_batch(
+        jnp.asarray(data), jnp.asarray(lens), lanes=LANES, interpret=True, spec=spec
+    )
+    out, olens = np.asarray(out), np.asarray(olens)
+    for i, b in enumerate(blocks):
+        assert out[i, : olens[i]].tobytes() == cm_encode(b), f"block {i}"
+    enc = [cm_encode(b) for b in blocks]
+    m = max(len(e) for e in enc)
+    pdata, plens = _pad(enc, max(1024, m))
+    dec = np.asarray(
+        cmp_.cm_decode_pallas_batch(
+            jnp.asarray(pdata), jnp.asarray(plens), jnp.asarray(lens),
+            max(1024, n), lanes=LANES, interpret=True, spec=spec,
+        )
+    )
+    for i, b in enumerate(blocks):
+        assert dec[i, : len(b)].tobytes() == b, f"block {i}"

@@ -242,9 +242,7 @@ def test_device_large_block_64mib_bwt():
     """Device large-block BWT capability: one 64 MiB block round-trips
     through bwt_forward_batch/bwt_inverse_batch bit-exactly (verified
     on chip: fwd+inv exact at [1, 64Mi]).  The FULL pipeline at 64 MiB
-    is gated — a single 64 Mi-step CM launch trips the TPU runtime's
-    kernel-duration watchdog and kills the worker (PERF_NOTES R3.8);
-    DevicePipeline fails fast above BZ3_TPU_MAX_DEVICE_BLOCK_MIB.
+    runs via the resumable CM (test_device_pipeline_64mib below).
     Heavy: gated behind BZ3_TPU_HEAVY=1."""
     import os
     import pytest
@@ -265,10 +263,40 @@ def test_device_large_block_64mib_bwt():
     assert np.array_equal(np.asarray(inv), rows)
 
 
+def test_device_pipeline_64mib():
+    """Full device pipeline at a 64 MiB block: the CM stage splits into
+    resumable launches (<= 16 Mi steps each, state spilled/reloaded
+    through aliased HBM refs) and the pipeline dispatches BWT and the
+    CM chain as SEPARATE programs (fusing them crashed the worker —
+    PERF_NOTES R3.10).  Validated on chip: encode + decode EXACT.
+    Heavy: gated behind BZ3_TPU_HEAVY=1 (minutes on chip, and the CPU
+    backend would take far longer)."""
+    import os
+    import pytest
+
+    if os.environ.get("BZ3_TPU_HEAVY", "0") != "1":
+        pytest.skip("set BZ3_TPU_HEAVY=1 (and run on TPU) for the 64 MiB pipeline probe")
+    import numpy as np
+    from bzip3_tpu.pipeline import DevicePipeline
+
+    rng = np.random.default_rng(1)
+    words = [
+        bytes(rng.integers(97, 123, int(rng.integers(2, 9)), dtype=np.uint8))
+        for _ in range(512)
+    ]
+    blob = b" ".join(words[int(i)] for i in rng.integers(0, 512, 11 << 20))
+    blob = blob[: 64 << 20]
+    pipe = DevicePipeline(64 << 20)
+    enc = pipe.encode_blocks([blob])
+    dec = pipe.decode_blocks([(enc[0], len(blob))])
+    assert dec[0] == blob
+
+
 def test_device_pipeline_block_cap_message():
-    """Above the single-CM-launch cap the pipeline must fail fast with
-    a clear error on the TPU backend (never crash the worker).  On the
-    CPU suite backend construction succeeds (no watchdog)."""
+    """Above the device HBM cap (default 64 MiB now that the resumable
+    CM removed the launch-duration ceiling) the pipeline must fail fast
+    with a clear error on the TPU backend (never crash the worker).  On
+    the CPU suite backend construction succeeds (no HBM)."""
     import jax
     from bzip3_tpu.pipeline import DevicePipeline
     from bzip3_tpu.errors import Bz3Error
@@ -276,7 +304,7 @@ def test_device_pipeline_block_cap_message():
     if jax.default_backend() == "tpu":
         import pytest
 
-        with pytest.raises(Bz3Error, match="single-CM-launch cap"):
-            DevicePipeline(64 << 20)
+        with pytest.raises(Bz3Error, match="device HBM cap"):
+            DevicePipeline(128 << 20)
     else:
-        DevicePipeline(64 << 20)  # no gate off-TPU
+        DevicePipeline(128 << 20)  # no gate off-TPU
