@@ -85,9 +85,44 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
 
     padkey = pos - jnp.int32(n)  # negative, increasing
     real = pos < lens
-    key_a = jnp.where(real, (sym(0) << 9) | sym(1), padkey)
-    key_b = jnp.where(real, (sym(2) << 9) | sym(3), padkey)
-    rank, unres = _segstart_ranks((key_a, key_b), pos)
+    seed = int(os.environ.get("BZ3_TPU_BWT_SEED", "4"))
+    if seed == 2:
+        # HISTOGRAM seeds: segment-start ranks over the 18-bit 2-symbol
+        # key need no per-element ordering at all — rank = (# keys
+        # strictly smaller) = exclusive-cumsum of the key histogram,
+        # which replaces the initial [K, N] sort with one scatter-add
+        # into [K, 2^18] + one cumsum + one gather.  Pads keep their
+        # position-order prefix ranks directly (rank = pos - len).
+        nbuck = 1 << 18
+        key2 = (sym(0) << 9) | sym(1)
+        bidx0 = jnp.arange(k_dim)[:, None]
+        cnt = (
+            jnp.zeros((k_dim, nbuck), jnp.int32)
+            .at[bidx0, jnp.where(real, key2, nbuck)]
+            .add(1, mode="drop")
+        )
+        starts = jnp.cumsum(cnt, axis=1) - cnt  # exclusive
+        combo = (starts << 1) | (cnt > 1)
+        g = jnp.take_along_axis(combo, key2, axis=1)
+        padlen0 = (jnp.int32(n) - lengths)[:, None]
+        rank = jnp.where(real, padlen0 + (g >> 1), pos - lens)
+        unres = jnp.sum((g & 1) & real, axis=1).astype(jnp.int32)
+        k_seed = 2
+    elif seed == 3:
+        # THREE symbols pack into ONE non-negative i32 key (27 bits):
+        # a 2-operand initial sort instead of 3, at the cost of
+        # starting doubling at k = 3 (12 after one stride-4 round,
+        # vs 16 with 4-symbol seeds).
+        key3 = jnp.where(
+            real, (sym(0) << 18) | (sym(1) << 9) | sym(2), padkey
+        )
+        rank, unres = _segstart_ranks((key3,), pos)
+        k_seed = 3
+    else:
+        key_a = jnp.where(real, (sym(0) << 9) | sym(1), padkey)
+        key_b = jnp.where(real, (sym(2) << 9) | sym(3), padkey)
+        rank, unres = _segstart_ranks((key_a, key_b), pos)
+        k_seed = 4
     bidx = jnp.arange(k_dim)[:, None]
 
     # stride < 2 would never refine ranks (infinite while_loop).
@@ -136,7 +171,7 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
         return new_rank, k * stride_full, unres
 
     rank, k_reached, unres = jax.lax.while_loop(
-        cond_full, body_full, (rank, jnp.int32(4), unres)
+        cond_full, body_full, (rank, jnp.int32(k_seed), unres)
     )
 
     if cap > 0:

@@ -299,24 +299,23 @@ def _init_tables(c0, c1, c2, rowa, rowb):
 def _rotate_c1_rows(c1, rowa, rowb, scal, c1_old, c1_new, active, lanes):
     """Byte-boundary C1 maintenance: write rowA back to C1[c1_old],
     rowB <- rowA (c2' = c1), rowA <- C1[c1_new].  Per-lane scalar
-    control via the VMEM scalar bridge.  The L=32 ablation matrix puts
-    this rotation at ~46% of the decode step, dominated by the bridge
-    reads — so (old, new, active) pack into ONE word per lane (one
-    scalar load instead of three)."""
+    control via the VMEM scalar bridge.
+
+    The copies run UNCONDITIONALLY: a cost-split ablation on chip
+    (PERF_NOTES R3.11) showed the former `@pl.when(switching)` guard
+    regions — not the row copies they guarded — were the entire ~46%
+    rotation share of the decode step (skip-write-back measured 0;
+    branchless measured +38%, within 6% of removing the rotation
+    outright).  Unconditional is also EXACT: for non-switching or
+    inactive lanes c1_old == c1_new, so the pair degenerates to
+    write-back + refetch of the same row."""
     act_mask = jnp.broadcast_to(active[:, :1], rowb.shape)
     rowb[...] = jnp.where(act_mask, rowa[...], rowb[...])
-    scal[0] = c1_old | (c1_new << 8) | (active.astype(I32) << 16)
+    scal[0] = c1_old | (c1_new << 8)
     for l in range(lanes):
         w = scal[0, l, 0]
-
-        @pl.when((w >= 65536) & ((w & 255) != (_srl(w, 8) & 255)))
-        def _():
-            c1[l, w & 255, :] = rowa[l, :]
-            rowa[l, :] = c1[l, _srl(w, 8) & 255, :]
-        # o == n needs no write-back: the cache IS the row, nothing else
-        # reads the backing c1 row, and any later fetch of row o can only
-        # happen after a switch away from it — which writes back.  On
-        # run-heavy post-BWT data this skips most byte boundaries' copies.
+        c1[l, w & 255, :] = rowa[l, :]
+        rowa[l, :] = c1[l, _srl(w, 8) & 255, :]
 
 
 def _win_gather(win, lanes, base):
@@ -1365,29 +1364,34 @@ def _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=True,
 
             @pl.when(jnp.any(need))
             def _():
-                scal[0] = moved
-                scal[1] = need.astype(I32)
+                # The staging STORE runs unconditionally per lane (the
+                # branch regions cost ~60-70 ns each, the guarded row
+                # store is free — same finding as the C1 rotation,
+                # PERF_NOTES R3.11).  A non-crossing lane stores its
+                # IN-PROGRESS half into that half's future slot, which
+                # is re-stored complete at the actual crossing before
+                # the sub==7 DMA of its chunk can fire — and the DMA is
+                # synchronous (start+wait), so no in-flight reader ever
+                # observes the provisional bytes.
+                scal[0] = moved | (need.astype(I32) << 30)
                 for l in range(lanes):
-                    mv = scal[0, l, 0]
-                    nd = scal[1, l, 0]
+                    w = scal[0, l, 0]
+                    mv = w & 0x3FFFFFFF
+                    chunk = _srl(mv, 10)
+                    sub = _srl(mv, 7) & 7
+                    sel = _srl(mv, 7) & 1  # which carry half is full
+                    wst[chunk & 1, l, sub, :] = wv_half(wv, l, sel)
 
-                    @pl.when(nd == 1)
+                    # staged the 8th sub-tile: DMA the 1 KiB slot out
+                    @pl.when((w >= (1 << 30)) & (sub == 7))
                     def _():
-                        chunk = _srl(mv, 10)
-                        sub = _srl(mv, 7) & 7
-                        sel = _srl(mv, 7) & 1  # which carry half is full
-                        wst[chunk & 1, l, sub, :] = wv_half(wv, l, sel)
-
-                        # staged the 8th sub-tile: DMA the 1 KiB slot out
-                        @pl.when(sub == 7)
-                        def _():
-                            cp = pltpu.make_async_copy(
-                                wst.at[chunk & 1, l],
-                                hbm_out.at[chunk & 1, l, _srl(chunk, 1)],
-                                out_sems.at[l],
-                            )
-                            cp.start()
-                            cp.wait()
+                        cp = pltpu.make_async_copy(
+                            wst.at[chunk & 1, l],
+                            hbm_out.at[chunk & 1, l, _srl(chunk, 1)],
+                            out_sems.at[l],
+                        )
+                        cp.start()
+                        cp.wait()
             moved = moved + 128 * need.astype(I32)
 
             return (low, high, optr, moved, c1v, c2v, runv, wv)
