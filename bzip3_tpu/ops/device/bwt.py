@@ -32,14 +32,18 @@ import jax.numpy as jnp
 
 
 def _segstart_ranks(keys, pos):
-    """Segment-start ranks of key tuples along the last axis.
+    """Segment-start ranks of key tuples along the last axis, PACKED
+    with the per-position unresolved bit: returns (rank*2 + unres_bit,
+    per-row unresolved count).
 
     rank[i] = sorted index of the FIRST element of i's equal-key group
     (order-preserving with gaps).  Unlike dense ranks, these refine in
     place: splitting a group reassigns ranks only within [start, end),
     so resolved positions keep their rank forever — the property the
-    compacted rounds below rely on.  Also returns the per-row count of
-    UNRESOLVED positions (group size > 1)."""
+    compacted rounds below rely on.  The unresolved bit (group size
+    > 1) rides the SAME scatter so the compaction entry needs no
+    count histogram (scatter-add) + gather of its own — scatters are
+    ~0.3-0.5 s per [16, 1Mi] round on chip (PERF_NOTES R3.12)."""
     k_dim, n = keys[0].shape
     s = jax.lax.sort((*keys, pos), num_keys=len(keys), is_stable=True)
     sorted_keys, sp = s[:-1], s[-1]
@@ -52,9 +56,12 @@ def _segstart_ranks(keys, pos):
     is_start_next = jnp.concatenate([change, true1], axis=1)
     segstart = jax.lax.cummax(jnp.where(is_start, iota, 0), axis=1)
     bidx = jnp.arange(k_dim)[:, None]
-    rank = jnp.zeros((k_dim, n), jnp.int32).at[bidx, sp].set(segstart)
-    unresolved = jnp.sum(~(is_start & is_start_next), axis=1).astype(jnp.int32)
-    return rank, unresolved
+    unres_bit = (~(is_start & is_start_next)).astype(jnp.int32)
+    packed = jnp.zeros((k_dim, n), jnp.int32).at[bidx, sp].set(
+        segstart * 2 + unres_bit
+    )
+    unresolved = jnp.sum(unres_bit, axis=1).astype(jnp.int32)
+    return packed, unresolved
 
 
 @jax.jit
@@ -105,7 +112,10 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
         combo = (starts << 1) | (cnt > 1)
         g = jnp.take_along_axis(combo, key2, axis=1)
         padlen0 = (jnp.int32(n) - lengths)[:, None]
-        rank = jnp.where(real, padlen0 + (g >> 1), pos - lens)
+        # packed rank*2 + unresolved bit, matching _segstart_ranks
+        rank = jnp.where(
+            real, (padlen0 + (g >> 1)) * 2 + (g & 1), (pos - lens) * 2
+        )
         unres = jnp.sum((g & 1) & real, axis=1).astype(jnp.int32)
         k_seed = 2
     elif seed == 3:
@@ -141,8 +151,12 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
     # repeated-phrase tail, so the remaining log_4 rounds cost ~C/N of
     # a full sort each — which also neutralizes slowest-row gating
     # (extra rounds forced by one hard row are nearly free).  Env
-    # BZ3_TPU_BWT_COMPACT is the N/C divisor (0 disables).
-    div = int(os.environ.get("BZ3_TPU_BWT_COMPACT", "4"))
+    # BZ3_TPU_BWT_COMPACT is the N/C divisor (0 disables).  Default 3:
+    # bench text measures unresolved(k=16) ~ N/4 + 1% — a cap of N/3
+    # compacts the second round (measured 6.38 vs 5.56 MB/s at
+    # [16 x 1Mi]), and the cheap cond-gated setup makes a larger cap
+    # harmless on corpora that resolve in the full rounds.
+    div = int(os.environ.get("BZ3_TPU_BWT_COMPACT", "3"))
     cap = min(n, max(128, n // div)) if div > 0 else 0
 
     def cond_full(carry):
@@ -150,7 +164,8 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
         return (unres.max() > cap) & (k < n)
 
     def body_full(carry):
-        rank, k, _ = carry
+        rank_p, k, _ = carry
+        rank = rank_p >> 1  # strip the packed unresolved bit
 
         # Generalized doubling with STRIDE s (Larsson–Sadakane
         # widened): sorting by (r_i, r_{i+k}, .., r_{i+(s-1)k}) orders
@@ -181,59 +196,76 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
         # either all-resolved or all-unresolved), so in-segment
         # refinement is exact: new_rank = segment_start_rank + offset of
         # the sub-group's first entry within the sorted segment.
-        cnt = jnp.zeros((k_dim, n), jnp.int32).at[bidx, rank].add(1)
-        unresolved = jnp.take_along_axis(cnt, rank, axis=1) > 1
-        slot = jnp.cumsum(unresolved.astype(jnp.int32), axis=1) - 1
-        comp = (
-            jnp.full((k_dim, cap), n, jnp.int32)
-            .at[bidx, jnp.where(unresolved, jnp.minimum(slot, cap), cap)]
-            .set(pos, mode="drop")
-        )
-        iota_c = jnp.broadcast_to(jnp.arange(cap, dtype=jnp.int32), (k_dim, cap))
-        pad = comp >= n
+        # The unresolved mask comes straight from the packed rank bit
+        # (no count histogram), and the WHOLE phase — including this
+        # setup's scatter — is skipped via lax.cond when the full
+        # rounds already resolved every row (the common case on text:
+        # measured 0.98 s of a 3.49 s [16 x 1Mi] forward was spent
+        # here building compaction state for zero compact rounds).
+        def compact_phase(rank_p):
+            unresolved = (rank_p & 1) == 1
+            rank = rank_p >> 1
+            slot = jnp.cumsum(unresolved.astype(jnp.int32), axis=1) - 1
+            comp = (
+                jnp.full((k_dim, cap), n, jnp.int32)
+                .at[bidx, jnp.where(unresolved, jnp.minimum(slot, cap), cap)]
+                .set(pos, mode="drop")
+            )
+            iota_c = jnp.broadcast_to(
+                jnp.arange(cap, dtype=jnp.int32), (k_dim, cap)
+            )
+            pad = comp >= n
 
-        def cond_comp(carry):
-            rank, k, done = carry
-            return (~done) & (k < n)
+            def cond_comp(carry):
+                rank, k, done = carry
+                return (~done) & (k < n)
 
-        def body_comp(carry):
-            rank, k, _ = carry
-            r0 = jnp.take_along_axis(rank, jnp.minimum(comp, n - 1), axis=1)
-            # pads get unique keys ABOVE every real rank (< n): they sort
-            # to the tail as singletons and never affect refinement.
-            r0 = jnp.where(pad, n + iota_c, r0)
+            def body_comp(carry):
+                rank, k, _ = carry
+                r0 = jnp.take_along_axis(rank, jnp.minimum(comp, n - 1), axis=1)
+                # pads get unique keys ABOVE every real rank (< n): they
+                # sort to the tail as singletons and never affect
+                # refinement.
+                r0 = jnp.where(pad, n + iota_c, r0)
 
-            def rank_at(off):
-                idxp = comp + off
-                v = jnp.take_along_axis(
-                    rank, jnp.clip(idxp, 0, n - 1), axis=1
+                def rank_at(off):
+                    idxp = comp + off
+                    v = jnp.take_along_axis(
+                        rank, jnp.clip(idxp, 0, n - 1), axis=1
+                    )
+                    return jnp.where(pad | (idxp >= n), jnp.int32(-1), v)
+
+                keys = [r0] + [rank_at(i * k) for i in range(1, stride)]
+                s = jax.lax.sort((*keys, comp), num_keys=stride, is_stable=True)
+                sk, comp_s = s[:-1], s[-1]
+                seg_change = sk[0][:, 1:] != sk[0][:, :-1]
+                sub_change = seg_change
+                for a in sk[1:]:
+                    sub_change = sub_change | (a[:, 1:] != a[:, :-1])
+                true1 = jnp.ones((k_dim, 1), bool)
+                seg_start = jax.lax.cummax(
+                    jnp.where(jnp.concatenate([true1, seg_change], 1), iota_c, 0),
+                    axis=1,
                 )
-                return jnp.where(pad | (idxp >= n), jnp.int32(-1), v)
+                sub_start = jax.lax.cummax(
+                    jnp.where(jnp.concatenate([true1, sub_change], 1), iota_c, 0),
+                    axis=1,
+                )
+                new_rank_s = sk[0] + (sub_start - seg_start)
+                rank2 = rank.at[bidx, comp_s].set(new_rank_s, mode="drop")
+                done = jnp.all(sub_change)
+                return rank2, k * stride, done
 
-            keys = [r0] + [rank_at(i * k) for i in range(1, stride)]
-            s = jax.lax.sort((*keys, comp), num_keys=stride, is_stable=True)
-            sk, comp_s = s[:-1], s[-1]
-            seg_change = sk[0][:, 1:] != sk[0][:, :-1]
-            sub_change = seg_change
-            for a in sk[1:]:
-                sub_change = sub_change | (a[:, 1:] != a[:, :-1])
-            true1 = jnp.ones((k_dim, 1), bool)
-            seg_start = jax.lax.cummax(
-                jnp.where(jnp.concatenate([true1, seg_change], 1), iota_c, 0),
-                axis=1,
+            out, _, _ = jax.lax.while_loop(
+                cond_comp, body_comp, (rank, k_reached, jnp.bool_(False))
             )
-            sub_start = jax.lax.cummax(
-                jnp.where(jnp.concatenate([true1, sub_change], 1), iota_c, 0),
-                axis=1,
-            )
-            new_rank_s = sk[0] + (sub_start - seg_start)
-            rank2 = rank.at[bidx, comp_s].set(new_rank_s, mode="drop")
-            done = jnp.all(sub_change)
-            return rank2, k * stride, done
+            return out
 
-        rank, _, _ = jax.lax.while_loop(
-            cond_comp, body_comp, (rank, k_reached, unres.max() == 0)
+        rank = jax.lax.cond(
+            unres.max() > 0, compact_phase, lambda rp: rp >> 1, rank
         )
+    else:
+        rank = rank >> 1
 
     # SA[r] = position with rank r.  Segment-start ranks are exactly
     # the sorted indices once every group is a singleton (the loops

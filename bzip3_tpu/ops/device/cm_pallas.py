@@ -223,6 +223,28 @@ def _win_pair_gather(e0, e1, cb, idx):
 _PAIR_INIT = np.int32(-2147450880)  # (1<<15) | (1<<15)<<16 packed
 _HI_MASK = np.int32(-65536)  # 0xFFFF0000
 
+# C2 window extraction strategy: 0 = vector _extract2 scan over the
+# table's chunks; 1 = per-lane scalar row-slice gathers (the branchless
+# rotation's cheap primitives) into a small scratch.  See PERF_NOTES.
+_C2SW = os.environ.get("BZ3_TPU_CM_C2SW", "0") == "1"
+
+
+def _c2_window_scalar(c2t, c2w, scal, c2cb, lanes):
+    """Per-lane scalar gather of chunks (cb, cb+1) of c2t [L, W] into
+    c2w [2, L, 128].  The dynamic column offsets are 128-aligned by
+    construction, which Mosaic accepts as scalar-controlled slices."""
+    w = c2t.shape[1]
+    scal[0] = c2cb
+    for l in range(lanes):
+        cbl = scal[0, l, 0]
+        off0 = pl.multiple_of(cbl * 128, 128)
+        off1 = pl.multiple_of(
+            jnp.minimum(cbl * 128 + 128, jnp.int32(w - 128)), 128
+        )
+        c2w[0, l, :] = c2t[l, pl.ds(off0, 128)]
+        c2w[1, l, :] = c2t[l, pl.ds(off1, 128)]
+    return c2w[0], c2w[1]
+
 
 def _half(w, parity):
     """Extract the 16-bit half of packed word w selected by parity&1."""
@@ -397,14 +419,14 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True,
             (plen_ref, olen_ref, start_ref, hbm_in,
              _prev, _rgs, _c1i, _smi, _c2i,
              hbm_out, regs_st, c1_st, small_st, c2_st,
-             c1, rowa, rowb, win, ob, scal,
+             c1, rowa, rowb, win, ob, scal, c2w,
              c0_0, c0_1, c0_2, c0_3, c0_4, c0_5, c0_6, c0_7,
              c2_0, c2_1, c2_2, c2_3, c2_4, c2_5, c2_6, c2_7,
              regs_v,
              in_sems, out_sems, st_sem) = refs
         else:
             (plen_ref, olen_ref, hbm_in, hbm_out,
-             c1, rowa, rowb, win, ob, scal,
+             c1, rowa, rowb, win, ob, scal, c2w,
              c0_0, c0_1, c0_2, c0_3, c0_4, c0_5, c0_6, c0_7,
              c2_0, c2_1, c2_2, c2_3, c2_4, c2_5, c2_6, c2_7,
              in_sems, out_sems) = refs
@@ -666,7 +688,17 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True,
                     if c2vs[t + 1].shape[1] > 256:
                         c2base = _srl((4 * (ctx - (1 << t)) + f) * 17, 1)
                         c2cb = _srl(c2base, 7)
-                        c2win = (*_extract2(c2vs[t + 1], c2cb), c2cb)
+                        if _C2SW:
+                            # table t+1 is untouched until bit t+1's
+                            # update, so the ref content here equals
+                            # the byte-start value the vector path
+                            # extracts from
+                            e0, e1 = _c2_window_scalar(
+                                c2[t + 1], c2w, scal, c2cb, lanes
+                            )
+                            c2win = (e0, e1, c2cb)
+                        else:
+                            c2win = (*_extract2(c2vs[t + 1], c2cb), c2cb)
                     else:
                         c2win = None
                     sh_nxt, cand0, cand1 = fe_pair(ctx, t + 1, c2win)
@@ -889,6 +921,7 @@ def _decode_call(payload, plens, olens, lanes, n_steps, in_chunks, interpret, sp
             pltpu.VMEM((2, lanes, 8, 128), I32),
             pltpu.VMEM((2, lanes, 128), I32),
             pltpu.VMEM((4, lanes, 128), I32),
+            pltpu.VMEM((2, lanes, 128), I32),
             *_c0_shapes(lanes),
             *_c2_shapes(lanes),
             pltpu.SemaphoreType.DMA((lanes,)),
@@ -946,6 +979,7 @@ def _decode_call_resume(payload, plens, olens, startstop, out_prev,
             pltpu.VMEM((2, lanes, 8, 128), I32),
             pltpu.VMEM((2, lanes, 128), I32),
             pltpu.VMEM((4, lanes, 128), I32),
+            pltpu.VMEM((2, lanes, 128), I32),
             *_c0_shapes(lanes),
             *_c2_shapes(lanes),
             pltpu.VMEM((8, lanes, 128), I32),
@@ -1123,14 +1157,14 @@ def _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=True,
              _wvs, _wsts,
              hbm_out, olen_ref,
              c1_st, small_st, c2_st, regs_st, wv_st, wst_st,
-             c1, rowa, rowb, ib, wst, scal,
+             c1, rowa, rowb, ib, wst, scal, c2w,
              c0_0, c0_1, c0_2, c0_3, c0_4, c0_5, c0_6, c0_7,
              c2_0, c2_1, c2_2, c2_3, c2_4, c2_5, c2_6, c2_7,
              regs_v, wv_v,
              in_sems, out_sems, st_sem) = refs
         else:
             (ilen_ref, hbm_in, hbm_out, olen_ref,
-             c1, rowa, rowb, ib, wst, scal,
+             c1, rowa, rowb, ib, wst, scal, c2w,
              c0_0, c0_1, c0_2, c0_3, c0_4, c0_5, c0_6, c0_7,
              c2_0, c2_1, c2_2, c2_3, c2_4, c2_5, c2_6, c2_7,
              in_sems, out_sems) = refs
@@ -1283,7 +1317,14 @@ def _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=True,
                     # for base = (2*rel+f)*17 — packed words span <= 10,
                     # a 2-chunk window.
                     c2cb = _srl(_srl((2 * rel + f) * 17, 1), 7)
-                    we0, we1 = _extract2(c2vs[t], c2cb)
+                    if _C2SW:
+                        # front-ends all read at byte start, before any
+                        # of this byte's table updates — ref == value
+                        we0, we1 = _c2_window_scalar(
+                            c2[t], c2w, scal, c2cb, lanes
+                        )
+                    else:
+                        we0, we1 = _extract2(c2vs[t], c2cb)
                     wa = _win_pair_gather(we0, we1, c2cb, wai)
                     wb = _win_pair_gather(we0, we1, c2cb, wbi)
                 else:
@@ -1501,6 +1542,7 @@ def _encode_call(data, ilens, lanes, n_steps, out_chunks, interpret, spec=False)
             pltpu.VMEM((2, lanes, 128), I32),
             pltpu.VMEM((2, lanes, 8, 128), I32),
             pltpu.VMEM((3, lanes, 128), I32),
+            pltpu.VMEM((2, lanes, 128), I32),
             *_c0_shapes(lanes),
             *_c2_shapes(lanes),
             pltpu.SemaphoreType.DMA((2,)),
@@ -1566,6 +1608,7 @@ def _encode_call_resume(data, ilens, startstop, out_prev, c1s, smalls,
             pltpu.VMEM((2, lanes, 128), I32),
             pltpu.VMEM((2, lanes, 8, 128), I32),
             pltpu.VMEM((3, lanes, 128), I32),
+            pltpu.VMEM((2, lanes, 128), I32),
             *_c0_shapes(lanes),
             *_c2_shapes(lanes),
             pltpu.VMEM((8, lanes, 128), I32),
