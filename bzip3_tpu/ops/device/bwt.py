@@ -267,28 +267,32 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
     else:
         rank = rank >> 1
 
-    # SA[r] = position with rank r.  Segment-start ranks are exactly
-    # the sorted indices once every group is a singleton (the loops
-    # only exit resolved — distinct sentinels guarantee termination),
-    # so the final full-array sort collapses to ONE scatter.
-    sa = jnp.zeros((k_dim, n), jnp.int32).at[bidx, rank].set(pos)
-
-    # Real suffixes occupy SA[padlen:].  Locate rank of suffix 0.
+    # Output DIRECTLY from ranks: the sentinel-augmented BWT's row 0 is
+    # the sentinel rotation (last byte = data[len-1]); the real suffix
+    # with real rank q = rank - padlen lands at output slot q + (q < p)
+    # — one slot below p is skipped because suffix 0's own row is where
+    # the sentinel sits in the un-augmented convention (see
+    # ops/ref/bwt.py for the index convention; parity with
+    # libsais_bwt as called from src/libbz3.c:623).  Scattering the
+    # predecessor bytes by slot replaces the old SA scatter + two
+    # dependent gathers + the argmin that located suffix 0 (its rank
+    # is just rank[:, 0]) — three full-array passes removed.
     padlen = jnp.int32(n) - lengths  # [K]
-    j0 = jnp.argmin(jnp.abs(sa), axis=1).astype(jnp.int32)  # SA==0 position
-    p = j0 - padlen  # index of suffix 0 inside the real SA
-
-    jj = pos  # output positions [K, N]
-    src = jj - 1 + (jj - 1 >= p[:, None]).astype(jnp.int32)  # skip entry p
-    sa_src = jnp.take_along_axis(
-        sa, jnp.clip(padlen[:, None] + src, 0, n - 1), axis=1
+    p = rank[:, 0:1] - padlen[:, None]  # rank of suffix 0 among real
+    q = rank - padlen[:, None]
+    slot = q + (q < p).astype(jnp.int32)
+    pred = jnp.concatenate([data[:, :1], data[:, :-1]], axis=1)  # data[i-1]
+    valid = real & (q != p)  # pads and suffix 0 do not emit
+    u = (
+        jnp.zeros((k_dim, n), jnp.uint8)
+        .at[bidx, jnp.where(valid, slot, n)]
+        .set(pred, mode="drop")
     )
-    pred = jnp.take_along_axis(data, jnp.clip(sa_src - 1, 0, n - 1), axis=1)
     last = jnp.take_along_axis(data, jnp.clip(lens - 1, 0, n - 1), axis=1)  # [K,1]
-    u = jnp.where(jj == 0, last, pred)
-    u = jnp.where(jj < lens, u, jnp.uint8(0))
+    u = jnp.where(pos == 0, last, u)
+    u = jnp.where(pos < lens, u, jnp.uint8(0))
 
-    idx = p + 1
+    idx = p[:, 0] + 1
     # Degenerate rows: length <= 1 is the identity with index = length.
     tiny = lengths <= 1
     u = jnp.where(tiny[:, None], data, u)
