@@ -382,23 +382,40 @@ def bwt_inverse_batch(
     )
     entries = entries.T  # [K, S]
 
-    # Walk all segments in lockstep: 4 bytes per dependent gather.
-    def walk(i_cur, _):
+    # Walk all segments in lockstep: 4 bytes per dependent gather.  The
+    # step buffers are written K-LEADING ([K, seg/4, S] via in-place
+    # dynamic-update-slice) so no transpose pass is needed afterwards —
+    # the final gather's flat index absorbs the (step, segment, byte)
+    # layout instead (a lax.scan would stack steps on axis 0 and force
+    # a [seg/4, K, S, 4] -> [K, S, seg/4, 4] materialization).
+    steps = seg // 4
+    buf0 = jnp.zeros((k_dim, steps, n_segs), jnp.int32)
+
+    def walk(t, carry):
+        i_cur, v01, v23 = carry
         got = jnp.take_along_axis(node, i_cur[:, :, None], axis=1)  # [K,S,3]
-        return got[:, :, 0], (got[:, :, 1], got[:, :, 2])
+        v01 = jax.lax.dynamic_update_slice(
+            v01, got[:, None, :, 1], (0, t, 0)
+        )
+        v23 = jax.lax.dynamic_update_slice(
+            v23, got[:, None, :, 2], (0, t, 0)
+        )
+        return got[:, :, 0], v01, v23
 
-    _, (v01, v23) = jax.lax.scan(walk, entries, None, length=seg // 4)
-    # v01/v23: [seg/4, K, S] packed words -> [K, S, seg/4, 4] byte order.
-    vals = jnp.stack(
-        [v01 & 0x1FF, v01 >> 9, v23 & 0x1FF, v23 >> 9], axis=-1
-    )  # [seg/4, K, S, 4]
-    rev = vals.transpose(1, 2, 0, 3).reshape(k_dim, n_segs * seg)
+    _, v01, v23 = jax.lax.fori_loop(0, steps, walk, (entries, buf0, buf0))
+    # flat chain offset t = s*seg + step*4 + b; layout [K, step, s, b]
+    # flattens to index ((step*n_segs) + s)*4 + b — pure arithmetic.
+    flat0 = jnp.stack([v01 & 0x1FF, v01 >> 9, v23 & 0x1FF, v23 >> 9], axis=-1
+                      ).reshape(k_dim, steps * n_segs * 4)
 
-    # out[j] = rev[len - 1 - j] - 1 for j < len (the walk emits
-    # right-to-left); the first visited value is the sentinel's
-    # predecessor, i.e. rev[t] maps to out[len-1-t].
-    gather_idx = jnp.clip(lens - 1 - jj[:, :n], 0, n_segs * seg - 1)
-    out = jnp.take_along_axis(rev, gather_idx, axis=1) - 1
+    # out[j] = chain value at t = len - 1 - j, minus 1 (the walk emits
+    # right-to-left; the first visited value is the sentinel's
+    # predecessor).
+    t_idx = jnp.clip(lens - 1 - jj[:, :n], 0, n_segs * seg - 1)
+    s_idx = t_idx // seg
+    within = t_idx - s_idx * seg
+    gather_idx = ((within >> 2) * n_segs + s_idx) * 4 + (within & 3)
+    out = jnp.take_along_axis(flat0, gather_idx, axis=1) - 1
     out = jnp.where(jj[:, :n] < lens, out, 0).astype(jnp.uint8)
 
     tiny = lengths <= 1
