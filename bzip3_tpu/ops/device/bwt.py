@@ -85,9 +85,16 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
     # keys so they sort to a contiguous prefix in position order (the
     # distinct-sentinel trick).
     def sym(off):
-        v = jnp.take_along_axis(
-            data.astype(jnp.int32), jnp.minimum(pos + off, n - 1), axis=1
-        )
+        # A shifted read data[pos + off] is a STATIC SLICE, not a
+        # gather (a [1, 16Mi] random gather costs ~170 ms on chip; a
+        # slice is a bandwidth copy).  Positions past the row's true
+        # length are zeroed by the where(), so the pad value is inert.
+        if off == 0:
+            v = data.astype(jnp.int32)
+        else:
+            v = jnp.concatenate(
+                [data[:, off:], jnp.zeros((k_dim, off), data.dtype)], axis=1
+            ).astype(jnp.int32)
         return jnp.where(pos + off < lens, v + 1, 0)
 
     padkey = pos - jnp.int32(n)  # negative, increasing
@@ -174,12 +181,19 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
         # of log2 for the same per-round sort cost class (the sort is
         # the measured wall).  Stride 4 measured best on chip (8 adds
         # key-compare cost faster than it removes rounds).
+        #
+        # rank[pos + off] is a DYNAMIC SLICE of a (-1)-padded double
+        # buffer, not a gather: off = i*k is traced, but the read is a
+        # contiguous shifted window.  Measured at [1, 16Mi]: a random
+        # gather costs ~170 ms/round/operand; the slice is a bandwidth
+        # copy (~5 ms).  off >= n degenerates correctly: dynamic_slice
+        # clamps the start to n, yielding the all-(-1) pad half.
+        ext = jnp.concatenate(
+            [rank, jnp.full((k_dim, n), -1, jnp.int32)], axis=1
+        )
+
         def rank_at(off):
-            return jnp.where(
-                pos + off < n,
-                jnp.take_along_axis(rank, jnp.minimum(pos + off, n - 1), axis=1),
-                jnp.int32(-1),
-            )
+            return jax.lax.dynamic_slice(ext, (0, off), (k_dim, n))
 
         rks = [rank] + [rank_at(i * k) for i in range(1, stride_full)]
         new_rank, unres = _segstart_ranks(rks, pos)
