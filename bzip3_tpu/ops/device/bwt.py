@@ -144,12 +144,16 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
 
     # stride < 2 would never refine ranks (infinite while_loop).
     stride = max(2, int(os.environ.get("BZ3_TPU_BWT_STRIDE", "4")))
-    # Full rounds may use a narrower stride than the compacted rounds:
-    # with compaction absorbing the late rounds, usually only ONE full
-    # round runs, and its cost scales with sort operand count
-    # (stride+1 arrays of [K, N]).
+    # Full rounds use a WIDER stride than the compacted rounds: their
+    # k-spaced rank reads are dynamic slices (near-free), so an extra
+    # operand costs only sort compare width (~70 ms/operand at 16Mi)
+    # while multiplying the per-round resolution.  Swept on chip post
+    # slice-fix at [1, 16Mi]: 4 -> 7.6, 5 -> 7.0, 6 -> 9.5 (with
+    # div 6), 7 -> 9.1, 8 -> 7.4 MB/s; at [16, 1Mi] stride 6 measures
+    # 21.8 vs 14.2.  Compact rounds keep stride 4 — their rank reads
+    # are genuine random gathers, the old economics.
     stride_full = max(
-        2, int(os.environ.get("BZ3_TPU_BWT_STRIDE_FULL", str(stride)))
+        2, int(os.environ.get("BZ3_TPU_BWT_STRIDE_FULL", "6"))
     )
     # Compacted-round capacity: once every row's unresolved-position
     # count fits in C, refinement rounds sort only those positions
@@ -162,8 +166,12 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
     # bench text measures unresolved(k=16) ~ N/4 + 1% — a cap of N/3
     # compacts the second round (measured 6.38 vs 5.56 MB/s at
     # [16 x 1Mi]), and the cheap cond-gated setup makes a larger cap
-    # harmless on corpora that resolve in the full rounds.
-    div = int(os.environ.get("BZ3_TPU_BWT_COMPACT", "3"))
+    # harmless on corpora that resolve in the full rounds.  Re-swept
+    # with stride_full 6 post slice-fix: div 6 beats 3/4/8 at both
+    # [1, 16Mi] and [16, 1Mi] (one stride-6 full round leaves < N/6
+    # unresolved on text, and the smaller compact arrays halve the
+    # compact-round sort/gather cost).
+    div = int(os.environ.get("BZ3_TPU_BWT_COMPACT", "6"))
     cap = min(n, max(128, n // div)) if div > 0 else 0
 
     def cond_full(carry):
