@@ -4,7 +4,7 @@ CXX ?= g++
 CXXFLAGS ?= -O3 -march=native -fPIC -shared -pthread
 PY ?= python
 
-.PHONY: all native test roundtrip bench clean cloc fuzz-native fuzz-py ci-local
+.PHONY: all native test test-chip roundtrip bench clean cloc fuzz-native fuzz-py ci-local
 
 all: native
 
@@ -16,6 +16,14 @@ _build/libbz3n.so: csrc/bz3n.cpp
 
 test: native
 	$(PY) -m pytest tests/ -q
+
+# On-chip kernel lane: Mosaic-compiled parity on the REAL TPU
+# (tests/test_on_chip.py) — the regressions interpret mode cannot see
+# (DMA drains, watchdog, Mosaic lowering).  Needs a visible TPU; each
+# kernel shape is a multi-minute compile through the tunnel, so this
+# is a separate lane, not part of `make test`.
+test-chip: native
+	BZ3_TPU_ON_CHIP=1 $(PY) -m pytest tests/test_on_chip.py -v
 
 # Round-trip the repo's own survey through the CLI and compare
 # (cf. `make roundtrip` compressing LICENSE, reference Makefile.am:72).

@@ -81,7 +81,8 @@ def _stats(mode, nread, nwritten, verbose):
         print(f"{nread} -> {nwritten} bytes", file=sys.stderr)
 
 
-def _process(inp, out, mode, block_size, engine, batch_size, verbose, recover=False):
+def _process(inp, out, mode, block_size, engine, batch_size, verbose,
+             recover=False, jobs_flag=0):
     def eng_batch_encode(blocks):
         return engine.encode_blocks(blocks, block_size)
 
@@ -97,6 +98,10 @@ def _process(inp, out, mode, block_size, engine, batch_size, verbose, recover=Fa
             block_size,
             batch_encode=eng_batch_encode,
             batch_size=batch_size,
+            # Framing quirk follows the USER'S -j (the reference's
+            # single-thread vs pthread loop split), not our internal
+            # batching width — see compress_file's feof_block doc.
+            feof_block=jobs_flag >= 2,
         )
         _stats("encode", r, w, verbose)
     elif mode in ("decode", "recover"):
@@ -224,7 +229,8 @@ def main(argv=None):
             out = _open_output(out_path, args.force)
         job_ok = True
         try:
-            _process(inp, out, mode, block_size, engine, batch_size, args.verbose)
+            _process(inp, out, mode, block_size, engine, batch_size,
+                     args.verbose, jobs_flag=args.jobs)
         except Bz3Error as e:
             print(f"bzip3: {in_path or 'stdin'}: {e}", file=sys.stderr)
             status = 1

@@ -83,13 +83,24 @@ def compress_file(
     engine=_ref_engine,
     batch_encode: Callable[[list[bytes]], list[bytes]] | None = None,
     batch_size: int = 1,
+    feof_block: bool | None = None,
 ) -> tuple[int, int]:
     """Stream-compress; returns (bytes_read, bytes_written).
 
     When ``batch_encode`` is given, up to ``batch_size`` blocks are
     gathered and encoded together (the TPU data-parallel path,
     superseding the reference's pthread fan-out at src/libbz3.c:845).
-    """
+
+    ``feof_block``: the reference's MULTI-WORKER loop reads BEFORE
+    checking feof (src/main.c:351-362; feof is only set by a failed or
+    short read), so with `-j >= 2` an input that is an exact multiple
+    of the block size gets one trailing EMPTY block and an empty input
+    gets one empty block — while the single-thread loop
+    (src/main.c:237-255) emits neither.  Verified against the compiled
+    reference binary on exact-multiple/empty/short files at -j 1/2/4.
+    Byte-identity requires mirroring the quirk per the USER'S -j flag,
+    independent of our internal batching width; None derives it from
+    batch_size for library callers."""
     bytes_read = 0
     bytes_written = write_file_header(out, block_size)
 
@@ -113,14 +124,18 @@ def compress_file(
             emit(payload, len(orig))
         pending.clear()
 
+    if feof_block is None:
+        feof_block = batch_size >= 2
     while True:
         chunk = inp.read(block_size)
-        if not chunk:
+        if not chunk and not feof_block:
             break
         bytes_read += len(chunk)
         pending.append(chunk)
         if len(pending) >= max(1, batch_size):
             flush()
+        if len(chunk) < block_size:
+            break
     flush()
     return bytes_read, bytes_written
 

@@ -1004,9 +1004,10 @@ def _decode_resumable(pay, pl_, ol, lanes, n_steps, in_chunks, interpret, spec):
     c1s = jnp.zeros((lanes, 256, 128), I32)
     smalls = jnp.zeros((10, lanes, 128), I32)
     c2s = jnp.zeros((lanes, _C2_SUM), I32)
-    starts = list(range(0, n_steps, _CM_CHUNK_STEPS))
+    cs = _chunk_steps(lanes)
+    starts = list(range(0, n_steps, cs))
     for j, s in enumerate(starts):
-        e = min(s + _CM_CHUNK_STEPS, n_steps)
+        e = min(s + cs, n_steps)
         ss = jnp.asarray(np.array([[s, e]], np.int32))
         out_buf, regs, c1s, smalls, c2s = _decode_call_resume(
             pay, pl_, ol, ss, out_buf, regs, c1s, smalls, c2s,
@@ -1066,7 +1067,7 @@ def cm_decode_pallas_batch(
         pay = pay.reshape(lanes, in_chunks // 2, 2, 8, 128).transpose(2, 0, 1, 3, 4)
         pl_ = jnp.zeros((lanes,), I32).at[:rows].set(in_lens[g : g + rows].astype(I32))
         ol = jnp.zeros((lanes,), I32).at[:rows].set(out_lens[g : g + rows].astype(I32))
-        if n_steps > _CM_CHUNK_STEPS or os.environ.get("BZ3_TPU_CM_RESUME", "0") == "1":
+        if n_steps > _chunk_steps(lanes) or os.environ.get("BZ3_TPU_CM_RESUME", "0") == "1":
             out = _decode_resumable(
                 pay, pl_, ol, lanes, n_steps, in_chunks, interpret, spec
             )
@@ -1092,8 +1093,21 @@ def cm_decode_pallas_batch(
 _ENC_REGS = ("low", "high", "optr", "moved", "c1v", "c2v", "runv")
 _DEC_REGS = ("low", "high", "code", "ip", "c1v", "c2v", "runv")
 # per-launch step chunk (multiple of 256); 16 Mi steps ~= 60 s of
-# kernel time, safely under the watchdog
+# kernel time AT 8 LANES, safely under the watchdog
 _CM_CHUNK_STEPS = (int(os.environ.get("BZ3_TPU_CM_CHUNK_MI", "16")) << 20)
+
+
+def _chunk_steps(lanes: int) -> int:
+    """Per-launch step budget, scaled so KERNEL DURATION stays roughly
+    constant in lane count: per-step cost is ~linear in L past 8 lanes
+    (PERF_NOTES R3.11 — total throughput is flat, so per-step wall
+    grows with L), and the watchdog bracket (~62-140 s, R3.8) was
+    measured in wall time.  16 Mi steps at L=8 ~= 60 s of decode; the
+    same wall at L=32 is 4 Mi steps.  Multiples of 256 keep the staging
+    double-buffers' slot parity and flush alignment across launch
+    cuts.  Launch-boundary cost is ~10 MB of state spill/reload per
+    32-lane group — microseconds against a multi-second launch."""
+    return max(256, (_CM_CHUNK_STEPS * 8 // max(8, lanes)) & ~255)
 _C2_SUM = sum(-(-(17 << t) // 128) * 128 for t in range(8))
 
 
@@ -1637,10 +1651,11 @@ def _encode_resumable(arr, il, lanes, n_steps, out_chunks, interpret, spec):
     regs = jnp.zeros((8, lanes, 128), I32)
     wv = jnp.zeros((lanes, 256), I32)
     wstb = jnp.zeros((2, lanes, 8, 128), I32)
-    starts = list(range(0, n_steps, _CM_CHUNK_STEPS))
+    cs = _chunk_steps(lanes)
+    starts = list(range(0, n_steps, cs))
     olens = None
     for j, s in enumerate(starts):
-        e = min(s + _CM_CHUNK_STEPS, n_steps)
+        e = min(s + cs, n_steps)
         ss = jnp.asarray(np.array([[s, e]], np.int32))
         (out_buf, olens, c1s, smalls, c2s, regs, wv, wstb) = _encode_call_resume(
             arr, il, ss, out_buf, c1s, smalls, c2s, regs, wv, wstb,
@@ -1683,7 +1698,7 @@ def cm_encode_pallas_batch(
         arr = jnp.zeros((lanes, n_steps), I32)
         arr = arr.at[:rows, :n].set(data[g : g + rows].astype(I32))
         il = jnp.zeros((lanes,), I32).at[:rows].set(lengths[g : g + rows].astype(I32))
-        if n_steps > _CM_CHUNK_STEPS or os.environ.get("BZ3_TPU_CM_RESUME", "0") == "1":
+        if n_steps > _chunk_steps(lanes) or os.environ.get("BZ3_TPU_CM_RESUME", "0") == "1":
             out, olens = _encode_resumable(
                 arr, il, lanes, n_steps, out_chunks, interpret, spec
             )

@@ -256,13 +256,24 @@ def bwt_inv_core(u, sbb_lens, bwt_idx):
     return bwt_inverse_batch(u, sbb_lens, bwt_idx)
 
 
-def _cm_resumable_width(width: int) -> bool:
-    """True when the CM stage will split into resumable launches."""
+def _split_dispatch(width: int) -> bool:
+    """True when the stage chain should dispatch as SEPARATE programs
+    (per-group BWT cores, the CM launch chain, per-group inverse
+    cores) instead of one fused jit program.
+
+    Three reasons, all measured: (a) fusing a wide BWT with a multi-
+    launch CM chain into one program crashed the worker at 64 MiB
+    (HBM pressure from the chained buffers, PERF_NOTES R3.10);
+    (b) separate inverse-BWT group programs let each group's sliced
+    D2H pull start the moment that group finishes — at 16 MiB blocks
+    the decoded wave is 512 MiB crossing a ~15 MB/s tunnel, so
+    overlapping the pull with later groups' compute hides ~30 s;
+    (c) the CM stage then sees the WHOLE wave as one lane group
+    (32 lanes) instead of being shape-fused per BWT group."""
     if _cm_impl() != "pallas":
         return False
-    from .ops.device.cm_pallas import _CM_CHUNK_STEPS
-
-    return width > _CM_CHUNK_STEPS
+    mib = float(os.environ.get("BZ3_TPU_SPLIT_DISPATCH_MIB", "4"))
+    return width >= int(mib * (1 << 20))
 
 
 @jax.jit
@@ -513,7 +524,7 @@ class DevicePipeline:
         if env > 0:
             w = env
         else:
-            budget = int(float(os.environ.get("BZ3_TPU_WAVE_MIB", "128")) * (1 << 20))
+            budget = int(float(os.environ.get("BZ3_TPU_WAVE_MIB", "512")) * (1 << 20))
             w = max(8, min(32, budget // max(1, self.width)))
         return max(self.wave_multiple, _round_up(w, self.wave_multiple))
 
@@ -613,18 +624,28 @@ class DevicePipeline:
                     outs = encode_core_full(orig_arr, orig_lens)
                 elif host_crc:
                     core = self.encode_core_hostcrc_fn or encode_core_hostcrc
-                    if core is encode_core_hostcrc and _cm_resumable_width(cw):
-                        # Resumable-CM regime: the CM stage runs as a
-                        # chain of launches with state spilled between
-                        # them.  Fusing that chain with the BWT into one
-                        # program crashed the worker at 64 MiB (HBM
-                        # pressure); dispatched separately each program
-                        # is validated on chip.
+                    if core is encode_core_hostcrc and _split_dispatch(cw):
+                        # Split-dispatch regime (see _split_dispatch):
+                        # one program per BWT group, then the CM launch
+                        # chain over the WHOLE wave — the CM kernel
+                        # lane-fills across groups (enc 8.9 MB/s at
+                        # L=8 vs 12.75 at L=32 on chip).
                         from .ops.device.cm_pallas import (
                             cm_encode_pallas_batch,
                         )
 
-                        u, idx = bwt_fwd_core(cur_arr, cur_lens)
+                        g = _bwt_row_groups(rows, cw)
+                        if g < rows:
+                            parts = [
+                                bwt_fwd_core(
+                                    cur_arr[s : s + g], cur_lens[s : s + g]
+                                )
+                                for s in range(0, rows, g)
+                            ]
+                            u = jnp.concatenate([p[0] for p in parts], axis=0)
+                            idx = jnp.concatenate([p[1] for p in parts], axis=0)
+                        else:
+                            u, idx = bwt_fwd_core(cur_arr, cur_lens)
                         payload, plens = cm_encode_pallas_batch(u, cur_lens)
                         outs = (crcs, idx, payload, plens,
                                 plens <= payload.shape[1])
@@ -817,10 +838,15 @@ class DevicePipeline:
                     # CM decode steps and the inverse-BWT arrays scale
                     # with this width, so post-LZP shrink is captured.
                     ow = self._bucket_width(max(1, max(sbbs[sl], default=1)))
-                    if self.decode_core_fn is decode_core and _cm_resumable_width(ow):
-                        # Resumable-CM regime: dispatch the CM launch
-                        # chain and the inverse BWT as separate programs
-                        # (see encode side for why fusing crashes).
+                    sl_w = max(1, max(sbbs[sl], default=1))
+                    if self.decode_core_fn is decode_core and _split_dispatch(ow):
+                        # Split-dispatch regime (see _split_dispatch):
+                        # the CM launch chain over the whole wave
+                        # (lane-filled), then one program PER inverse-
+                        # BWT group with that group's sliced D2H pull
+                        # started immediately — the pull of group s
+                        # streams back through the slow tunnel while
+                        # groups s+1.. compute.
                         from .ops.device.cm_pallas import (
                             cm_decode_pallas_batch,
                         )
@@ -828,9 +854,19 @@ class DevicePipeline:
                         u = cm_decode_pallas_batch(
                             pay_arr, pay_lens, jnp.asarray(sbb_w), ow
                         )
-                        data = bwt_inv_core(
-                            u, jnp.asarray(sbb_w), jnp.asarray(idx_w)
-                        )
+                        g = _bwt_row_groups(rows, ow)
+                        data = []
+                        for s in range(0, rows, g):
+                            if s >= count:
+                                break  # rows past count are padding
+                            dg = bwt_inv_core(
+                                u[s : s + g],
+                                jnp.asarray(sbb_w[s : s + g]),
+                                jnp.asarray(idx_w[s : s + g]),
+                            )
+                            data.append(
+                                _start_d2h(dg[: min(g, count - s), :sl_w])
+                            )
                     else:
                         data = self.decode_core_fn(
                             pay_arr,
@@ -839,13 +875,11 @@ class DevicePipeline:
                             jnp.asarray(idx_w),
                             ow,
                         )
-                    # Rows only hold sbb bytes (the post-LZP/RLE size,
-                    # typically well under the block width) — slice on
-                    # device before the pull, then stream it back while
-                    # later waves compute.
-                    data = _start_d2h(
-                        data[:count, : max(1, max(sbbs[sl], default=1))]
-                    )
+                        # Rows only hold sbb bytes (the post-LZP/RLE
+                        # size, typically well under the block width) —
+                        # slice on device before the pull, then stream
+                        # it back while later waves compute.
+                        data = _start_d2h(data[:count, :sl_w])
             waves.append((start, count, data))
             start += count
 
@@ -878,7 +912,12 @@ class DevicePipeline:
             return finals
         for wstart, count, data in waves:
             with t.stage("decode/d2h"):
-                data = np.asarray(data)
+                if isinstance(data, list):
+                    data = np.concatenate(
+                        [np.asarray(p) for p in data], axis=0
+                    )
+                else:
+                    data = np.asarray(data)
             with t.stage("decode/host_post"):
                 for i in range(wstart, wstart + count):
                     if i in literal:

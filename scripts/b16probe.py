@@ -132,3 +132,6 @@ if __name__ == "__main__":
             cm(8, N)
         elif s == "cm32":
             cm(32, 4 << 20)
+        elif s.startswith("cm:"):
+            _, r, w = s.split(":")
+            cm(int(r), int(float(w) * (1 << 20)))

@@ -178,3 +178,22 @@ def test_difficulty_ordering_restores_block_order():
         assert e == encode_block(b)
     decoded = pipe.decode_blocks([(e, len(b)) for e, b in zip(encoded, blocks2)])
     assert decoded == blocks2
+
+
+def test_split_dispatch_path(blocks, monkeypatch):
+    """The split-dispatch regime (per-group BWT programs + a lane-
+    filled CM chain, per-group inverse pulls) at tiny shapes: force the
+    Pallas CM (interpret mode on CPU), a sub-block split threshold, and
+    2-row BWT groups so a 5-block wave runs 3 separate group programs
+    and the decode returns a LIST of pulled group slices.  Output must
+    stay byte-identical to the oracle block codec."""
+    monkeypatch.setenv("BZ3_TPU_CM", "pallas")
+    monkeypatch.setenv("BZ3_TPU_SPLIT_DISPATCH_MIB", "0.0005")
+    monkeypatch.setenv("BZ3_TPU_BWT_GROUP_ROWS", "2")
+    sub = [blocks[0], blocks[1], blocks[2], blocks[4], blocks[6]]
+    pipe = DevicePipeline(BS)
+    encoded = pipe.encode_blocks(sub)
+    for e, b in zip(encoded, sub):
+        assert e == encode_block(b)
+    decoded = pipe.decode_blocks([(e, len(b)) for e, b in zip(encoded, sub)])
+    assert decoded == sub

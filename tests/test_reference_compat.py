@@ -104,3 +104,56 @@ def test_reference_shakespeare_fixture():
     )
     ref = subprocess.run([refbin, "-d", "-c", fixture], capture_output=True, check=True)
     assert ours.getvalue() == ref.stdout
+
+
+def test_multiworker_trailing_empty_block_quirk(tmp_path):
+    """The reference's -j >= 2 loop emits one trailing EMPTY block on
+    exact-multiple inputs and one empty block for empty input, while
+    -j 1 emits neither (feof is only set by a short read; multi loop
+    src/main.c:351-362 reads first, single loop src/main.c:237-255
+    checks first).  Our CLI keys the quirk on the user's -j flag."""
+    import struct
+    import subprocess
+    import sys
+
+    def blocks_of(data: bytes):
+        off, out = 9, []
+        while off + 8 <= len(data):
+            c, o = struct.unpack_from("<ii", data, off)
+            out.append((c, o))
+            off += 8 + c
+        return out
+
+    bs = 65536 * 17  # min valid block size (65 KiB < 66560 <= 1 MiB CLI floor)
+    exact = tmp_path / "exact.bin"
+    exact.write_bytes(b"a" * (2 << 20))  # exact multiple of 1 MiB
+    empty = tmp_path / "empty.bin"
+    empty.write_bytes(b"")
+    short = tmp_path / "short.bin"
+    short.write_bytes(b"b" * ((2 << 20) - 1))
+
+    def run(f, jobs):
+        r = subprocess.run(
+            [sys.executable, "-m", "bzip3_tpu.cli", "-e", "-b", "1",
+             "-j", str(jobs), "-c", str(f)],
+            capture_output=True, check=True,
+        )
+        return blocks_of(r.stdout)
+
+    assert [o for _, o in run(exact, 1)] == [1 << 20, 1 << 20]
+    assert [o for _, o in run(exact, 4)] == [1 << 20, 1 << 20, 0]
+    assert run(empty, 1) == []
+    assert [o for _, o in run(empty, 4)] == [(8, 0)][0:1] or True
+    e4 = run(empty, 4)
+    assert len(e4) == 1 and e4[0][1] == 0
+    s1, s4 = run(short, 1), run(short, 4)
+    assert [o for _, o in s1] == [1 << 20, (1 << 20) - 1]
+    assert s1 == s4
+    # and the streams with the quirk still decode
+    enc = subprocess.run(
+        [sys.executable, "-m", "bzip3_tpu.cli", "-e", "-b", "1", "-j", "4",
+         "-c", str(exact)], capture_output=True, check=True).stdout
+    dec = subprocess.run(
+        [sys.executable, "-m", "bzip3_tpu.cli", "-d", "-c"],
+        input=enc, capture_output=True, check=True).stdout
+    assert dec == exact.read_bytes()
