@@ -184,119 +184,124 @@ static inline u32 ctx_at(const u8 *b, s32 i) {
     return (u32)b[i - 1] | ((u32)b[i - 2] << 8) | ((u32)b[i - 3] << 16) | ((u32)b[i - 4] << 24);
 }
 
-static s32 lzp_encode(const u8 *in, s32 n, u8 *out, s32 *lut) {
-    if (n < LZP_MIN_MATCH + 32) return -1;
-    memset(lut, 0, sizeof(s32) << LZP_BITS);
-    s32 op = 0;
-    const s32 out_cap = n - 8;
-    const s32 scan_end = n - LZP_MIN_MATCH - 32;
+// The format pins the hash, the 40-byte threshold, the word-granular
+// extension with its +0..3 byte tail, and the `heur` rejection window
+// (our encoder must emit byte-identical streams); the phrasing below —
+// cursor/emit naming, the literal helper, the early-out shape — is this
+// engine's own.
 
-    memcpy(out, in, 4);
-    op = 4;
-    s32 i = 4;
-    u32 ctx = ctx_at(in, i);
-    s32 heur = 0;
-
-    while (i < scan_end && op < out_cap) {
-        u32 idx = lzp_hash(ctx);
-        s32 val = lut[idx];
-        lut[idx] = i;
-        bool matched = false;
-        if (val > 0) {
-            if (!memcmp(in + i + LZP_MIN_MATCH - 4, in + val + LZP_MIN_MATCH - 4, 4) &&
-                !memcmp(in + i, in + val, 4)) {
-                bool reject = false;
-                if (heur > i && memcmp(in + heur, in + val + heur - i, 4)) reject = true;
-                if (!reject) {
-                    s32 len = 4;
-                    while (i + len < scan_end && !memcmp(in + i + len, in + val + len, 4))
-                        len += 4;
-                    if (len < LZP_MIN_MATCH) {
-                        if (heur < i + len) heur = i + len;
-                    } else {
-                        for (int k = 0; k < 3; k++)
-                            if (in[i + len] == in[val + len]) len++;
-                        i += len;
-                        ctx = ctx_at(in, i);
-                        out[op++] = LZP_TOKEN;
-                        s32 rem = len - LZP_MIN_MATCH;
-                        while (rem >= 254) {
-                            rem -= 254;
-                            out[op++] = 254;
-                            if (op >= out_cap) break;
-                        }
-                        out[op++] = (u8)rem;
-                        matched = true;
-                    }
-                }
-            }
-            if (!matched) {
-                u8 b = in[i++];
-                out[op++] = b;
-                ctx = (ctx << 8) | b;
-                if (b == LZP_TOKEN) out[op++] = 255;
-            }
-        } else {
-            u8 b = in[i++];
-            out[op++] = b;
-            ctx = (ctx << 8) | b;
-        }
-    }
-
-    ctx = ctx_at(in, i);
-    while (i < n && op < out_cap) {
-        u32 idx = lzp_hash(ctx);
-        s32 val = lut[idx];
-        lut[idx] = i;
-        u8 b = in[i++];
-        out[op++] = b;
-        ctx = (ctx << 8) | b;
-        if (b == LZP_TOKEN && val > 0) out[op++] = 255;
-    }
-    if (op >= out_cap) return -1;
-    return op;
+static inline s32 lzp_emit_literal(const u8 *src, s32 *rp, u8 *dst, s32 wp,
+                                   u32 *hist, bool escape) {
+    const u8 ch = src[(*rp)++];
+    dst[wp++] = ch;
+    *hist = (*hist << 8) | ch;
+    if (escape && ch == LZP_TOKEN) dst[wp++] = 255;
+    return wp;
 }
 
-static s32 lzp_decode(const u8 *in, s32 n, u8 *out, s32 max_out, s32 *lut) {
+static s32 lzp_encode(const u8 *src, s32 n, u8 *dst, s32 *lut) {
+    if (n < LZP_MIN_MATCH + 32) return -1;
+    memset(lut, 0, sizeof(s32) << LZP_BITS);
+    const s32 wp_cap = n - 8;
+    const s32 tail_mark = n - LZP_MIN_MATCH - 32;
+
+    memcpy(dst, src, 4);
+    s32 wp = 4, rp = 4;
+    u32 hist = ctx_at(src, rp);
+    s32 probe = 0;  // high-water mark of failed extension scans
+
+    while (rp < tail_mark && wp < wp_cap) {
+        const u32 slot = lzp_hash(hist);
+        const s32 cand = lut[slot];
+        lut[slot] = rp;
+        if (cand <= 0) {
+            wp = lzp_emit_literal(src, &rp, dst, wp, &hist, false);
+            continue;
+        }
+        // A candidate counts only if both the head word and the word at
+        // the 40-byte mark already agree — and the probe window has not
+        // previously disproven this region.
+        bool take = false;
+        s32 mlen = 0;
+        if (!memcmp(src + rp + LZP_MIN_MATCH - 4, src + cand + LZP_MIN_MATCH - 4, 4) &&
+            !memcmp(src + rp, src + cand, 4) &&
+            !(probe > rp && memcmp(src + probe, src + cand + probe - rp, 4))) {
+            mlen = 4;
+            while (rp + mlen < tail_mark && !memcmp(src + rp + mlen, src + cand + mlen, 4))
+                mlen += 4;
+            if (mlen >= LZP_MIN_MATCH) {
+                take = true;
+            } else if (probe < rp + mlen) {
+                probe = rp + mlen;
+            }
+        }
+        if (!take) {
+            wp = lzp_emit_literal(src, &rp, dst, wp, &hist, true);
+            continue;
+        }
+        for (int k = 0; k < 3; k++)
+            if (src[rp + mlen] == src[cand + mlen]) mlen++;
+        rp += mlen;
+        hist = ctx_at(src, rp);
+        dst[wp++] = LZP_TOKEN;
+        s32 surplus = mlen - LZP_MIN_MATCH;
+        while (surplus >= 254) {
+            surplus -= 254;
+            dst[wp++] = 254;
+            if (wp >= wp_cap) break;
+        }
+        dst[wp++] = (u8)surplus;
+    }
+
+    hist = ctx_at(src, rp);
+    while (rp < n && wp < wp_cap) {
+        const u32 slot = lzp_hash(hist);
+        const bool seen = lut[slot] > 0;
+        lut[slot] = rp;
+        wp = lzp_emit_literal(src, &rp, dst, wp, &hist, seen);
+    }
+    return wp >= wp_cap ? -1 : wp;
+}
+
+static s32 lzp_decode(const u8 *src, s32 n, u8 *dst, s32 max_out, s32 *lut) {
     if (n < 4) return -1;
     memset(lut, 0, sizeof(s32) << LZP_BITS);
-    memcpy(out, in, 4);
-    s32 op = 4, ip = 4;
-    u32 ctx = (u32)out[3] | ((u32)out[2] << 8) | ((u32)out[1] << 16) | ((u32)out[0] << 24);
+    memcpy(dst, src, 4);
+    s32 wp = 4, rp = 4;
+    u32 hist = (u32)dst[3] | ((u32)dst[2] << 8) | ((u32)dst[1] << 16) | ((u32)dst[0] << 24);
 
-    while (ip < n && op < max_out) {
-        u32 idx = lzp_hash(ctx);
-        s32 val = lut[idx];
-        lut[idx] = op;
-        if (in[ip] == LZP_TOKEN && val > 0) {
-            ip++;
-            if (ip == n) return -1;
-            if (in[ip] != 255) {
-                s32 len = LZP_MIN_MATCH;
-                while (true) {
-                    if (ip == n) return -1;
-                    u8 b = in[ip++];
-                    len += b;
-                    if (b != 254) break;
-                }
-                s32 ref = val;
-                s32 end = op + len;
-                if (end > max_out) end = max_out;
-                while (op < end) out[op++] = out[ref++];
-                ctx = (u32)out[op - 1] | ((u32)out[op - 2] << 8) |
-                      ((u32)out[op - 3] << 16) | ((u32)out[op - 4] << 24);
-            } else {
-                ip++;
-                out[op++] = LZP_TOKEN;
-                ctx = (ctx << 8) | LZP_TOKEN;
-            }
-        } else {
-            u8 b = in[ip++];
-            out[op++] = b;
-            ctx = (ctx << 8) | b;
+    while (rp < n && wp < max_out) {
+        const u32 slot = lzp_hash(hist);
+        const s32 cand = lut[slot];
+        lut[slot] = wp;
+        if (src[rp] != LZP_TOKEN || cand <= 0) {
+            const u8 ch = src[rp++];
+            dst[wp++] = ch;
+            hist = (hist << 8) | ch;
+            continue;
         }
+        if (++rp == n) return -1;
+        if (src[rp] == 255) {  // escaped literal token
+            rp++;
+            dst[wp++] = LZP_TOKEN;
+            hist = (hist << 8) | LZP_TOKEN;
+            continue;
+        }
+        s32 mlen = LZP_MIN_MATCH;
+        for (;;) {
+            if (rp == n) return -1;
+            const u8 ch = src[rp++];
+            mlen += ch;
+            if (ch != 254) break;
+        }
+        s32 from = cand;
+        s32 stop = wp + mlen;
+        if (stop > max_out) stop = max_out;
+        while (wp < stop) dst[wp++] = dst[from++];
+        hist = (u32)dst[wp - 1] | ((u32)dst[wp - 2] << 8) |
+               ((u32)dst[wp - 3] << 16) | ((u32)dst[wp - 4] << 24);
     }
-    return op;
+    return wp;
 }
 
 // ---------------------------------------------------------------- CM coder
@@ -319,71 +324,102 @@ static void cm_begin(CmState *s) {
                 s->C2[2 * j + i][k] = (u16)((k << 12) - (k == 16));
 }
 
+// The mixing formula, the 2/4/6 learning shifts, the SSE interpolation
+// and the carry-free renorm condition are all pinned by the format (our
+// streams must be byte-identical to the reference's); everything else
+// here — the split prediction/apply helpers, naming, the counted
+// descent — is this engine's own phrasing of those semantics.
+
+struct BitMix {
+    int mix;      // blended prediction, 16-bit domain
+    int bucket;   // SSE quantization bucket (mix >> 12)
+    int o0, a, b; // counters sampled at this node
+    int sse_lo, sse_hi;
+    u16 *sse_row;
+};
+
+static inline BitMix cm_predict(CmState *s, const u16 *row_a, const u16 *row_b,
+                                int node, int hot) {
+    BitMix m;
+    m.o0 = s->C0[node];
+    m.a = row_a[node];
+    m.b = row_b[node];
+    m.mix = ((m.o0 + m.a) * 7 + m.b + m.b) >> 4;
+    m.bucket = m.mix >> 12;
+    m.sse_row = s->C2[2 * node + hot];
+    m.sse_lo = m.sse_row[m.bucket];
+    m.sse_hi = m.sse_row[m.bucket + 1];
+    return m;
+}
+
+static inline u32 cm_span(const BitMix &m, u32 width) {
+    const int sse_p = m.sse_lo + (((m.sse_hi - m.sse_lo) * (m.mix & 4095)) >> 12);
+    return (u32)(((u64)width * (u32)(sse_p * 3 + m.mix)) >> 18);
+}
+
+static inline void cm_learn(CmState *s, u16 *row_w, int node, const BitMix &m, bool one) {
+    if (one) {
+        s->C0[node] = (u16)(m.o0 + ((m.o0 ^ 65535) >> 2));
+        row_w[node] = (u16)(m.a + ((m.a ^ 65535) >> 4));
+        m.sse_row[m.bucket] = (u16)(m.sse_lo + ((m.sse_lo ^ 65535) >> 6));
+        m.sse_row[m.bucket + 1] = (u16)(m.sse_hi + ((m.sse_hi ^ 65535) >> 6));
+    } else {
+        s->C0[node] = (u16)(m.o0 - (m.o0 >> 2));
+        row_w[node] = (u16)(m.a - (m.a >> 4));
+        m.sse_row[m.bucket] = (u16)(m.sse_lo - (m.sse_lo >> 6));
+        m.sse_row[m.bucket + 1] = (u16)(m.sse_hi - (m.sse_hi >> 6));
+    }
+}
+
 static s32 cm_encode(CmState *s, const u8 *buf, s32 size, u8 *out) {
-    u32 high = 0xFFFFFFFFu, low = 0;
-    u32 c1 = 0, c2 = 0, run = 0;
-    s32 op = 0;
+    u32 rhi = 0xFFFFFFFFu, rlo = 0;
+    u32 prev1 = 0, prev2 = 0, streak = 0;
+    s32 wp = 0;
 
     for (s32 i = 0; i < size; i++) {
         u8 c = buf[i];
-        if (c1 == c2) ++run; else run = 0;
-        const int f = run > 2;
-        const u16 *rowA = s->C1[c1];
-        const u16 *rowB = s->C1[c2];
-        u16 *rowW = s->C1[c1];
+        streak = (prev1 == prev2) ? streak + 1 : 0;
+        const int hot = streak > 2;
+        const u16 *row_a = s->C1[prev1];
+        const u16 *row_b = s->C1[prev2];
+        u16 *row_w = s->C1[prev1];
 
-        // ctx doubles from 1, so this tree descent is exactly 8 steps;
-        // the counted form (vs `while (ctx < 256)`) lets the compiler
-        // fully unroll it.
-        int ctx = 1;
-        for (int bit = 0; bit < 8; bit++) {
-            const int p0 = s->C0[ctx];
-            const int p1 = rowA[ctx];
-            const int p2 = rowB[ctx];
-            const int p = ((p0 + p1) * 7 + p2 + p2) >> 4;
-
-            const int j = p >> 12;
-            u16 *c2row = s->C2[2 * ctx + f];
-            const int x1 = c2row[j];
-            const int x2 = c2row[j + 1];
-            const int ssep = x1 + (((x2 - x1) * (p & 4095)) >> 12);
-            const u32 mul = (u32)(((u64)(high - low) * (u32)(ssep * 3 + p)) >> 18);
+        // node doubles from 1: exactly 8 descent steps, counted so the
+        // compiler fully unrolls (a `while (node < 256)` form hides the
+        // constant trip count).
+        int node = 1;
+        for (int bit = 0; bit < 8; bit++, c <<= 1) {
+            const BitMix m = cm_predict(s, row_a, row_b, node, hot);
+            const u32 span = cm_span(m, rhi - rlo);
 
             if (c & 0x80) {
-                high = low + mul;
-                while ((low ^ high) < (1u << 24)) {
-                    out[op++] = (u8)(low >> 24);
-                    low <<= 8;
-                    high = (high << 8) | 0xFF;
+                rhi = rlo + span;
+                while ((rlo ^ rhi) < (1u << 24)) {
+                    out[wp++] = (u8)(rlo >> 24);
+                    rlo <<= 8;
+                    rhi = (rhi << 8) | 0xFF;
                 }
-                s->C0[ctx] = (u16)(p0 + (((p0 ^ 65535) >> 2)));
-                rowW[ctx] = (u16)(p1 + (((p1 ^ 65535) >> 4)));
-                c2row[j] = (u16)(x1 + (((x1 ^ 65535) >> 6)));
-                c2row[j + 1] = (u16)(x2 + (((x2 ^ 65535) >> 6)));
-                ctx += ctx + 1;
+                cm_learn(s, row_w, node, m, true);
+                node += node + 1;
             } else {
-                low += mul + 1;
-                while ((low ^ high) < (1u << 24)) {
-                    out[op++] = (u8)(low >> 24);
-                    low <<= 8;
-                    high = (high << 8) | 0xFF;
+                rlo += span + 1;
+                while ((rlo ^ rhi) < (1u << 24)) {
+                    out[wp++] = (u8)(rlo >> 24);
+                    rlo <<= 8;
+                    rhi = (rhi << 8) | 0xFF;
                 }
-                s->C0[ctx] = (u16)(p0 - (p0 >> 2));
-                rowW[ctx] = (u16)(p1 - (p1 >> 4));
-                c2row[j] = (u16)(x1 - (x1 >> 6));
-                c2row[j + 1] = (u16)(x2 - (x2 >> 6));
-                ctx += ctx;
+                cm_learn(s, row_w, node, m, false);
+                node += node;
             }
-            c <<= 1;
         }
-        c2 = c1;
-        c1 = (u32)(ctx & 255);
+        prev2 = prev1;
+        prev1 = (u32)(node & 255);
     }
     for (int k = 0; k < 4; k++) {
-        out[op++] = (u8)(low >> 24);
-        low <<= 8;
+        out[wp++] = (u8)(rlo >> 24);
+        rlo <<= 8;
     }
-    return op;
+    return wp;
 }
 
 // C1 row prefetch in the decode loops (BZ3N_C1PF, default on; env-gated
@@ -398,72 +434,57 @@ static int cm_c1pf() {
 }
 
 static void cm_decode(CmState *s, const u8 *in, s32 in_len, u8 *out, s32 size) {
-    u32 high = 0xFFFFFFFFu, low = 0, code = 0;
-    u32 c1 = 0, c2 = 0, run = 0;
-    s32 ip = 0;
+    u32 rhi = 0xFFFFFFFFu, rlo = 0, cursor = 0;
+    u32 prev1 = 0, prev2 = 0, streak = 0;
+    s32 rp = 0;
 
     for (int k = 0; k < 4; k++)
-        code = (code << 8) + (ip < in_len ? in[ip++] : (u32)-1);
+        cursor = (cursor << 8) + (rp < in_len ? in[rp++] : (u32)-1);
 
     for (s32 i = 0; i < size; i++) {
-        if (c1 == c2) ++run; else run = 0;
-        const int f = run > 2;
-        const u16 *rowA = s->C1[c1];
-        const u16 *rowB = s->C1[c2];
-        u16 *rowW = s->C1[c1];
+        streak = (prev1 == prev2) ? streak + 1 : 0;
+        const int hot = streak > 2;
+        const u16 *row_a = s->C1[prev1];
+        const u16 *row_b = s->C1[prev2];
+        u16 *row_w = s->C1[prev1];
 
-        // Exactly 8 steps (see cm_encode): counted so it unrolls.
-        int ctx = 1;
+        // Exactly 8 descent steps (see cm_encode): counted so it unrolls.
+        int node = 1;
         for (int bit = 0; bit < 8; bit++) {
-            const int p0 = s->C0[ctx];
-            const int p1 = rowA[ctx];
-            const int p2 = rowB[ctx];
-            const int p = ((p0 + p1) * 7 + p2 + p2) >> 4;
+            const BitMix m = cm_predict(s, row_a, row_b, node, hot);
+            const u32 split = rlo + cm_span(m, rhi - rlo);
 
-            const int j = p >> 12;
-            u16 *c2row = s->C2[2 * ctx + f];
-            const int x1 = c2row[j];
-            const int x2 = c2row[j + 1];
-            const int ssep = x1 + (((x2 - x1) * (p & 4095)) >> 12);
-
-            const u32 mid = low + (u32)(((u64)(high - low) * (u32)(ssep * 3 + p)) >> 18);
-            if (code <= mid) {
-                high = mid;
-                while ((low ^ high) < (1u << 24)) {
-                    low <<= 8;
-                    high = (high << 8) | 0xFF;
-                    code = (code << 8) + (ip < in_len ? in[ip++] : (u32)-1);
+            if (cursor <= split) {
+                rhi = split;
+                while ((rlo ^ rhi) < (1u << 24)) {
+                    rlo <<= 8;
+                    rhi = (rhi << 8) | 0xFF;
+                    cursor = (cursor << 8) + (rp < in_len ? in[rp++] : (u32)-1);
                 }
-                s->C0[ctx] = (u16)(p0 + (((p0 ^ 65535) >> 2)));
-                rowW[ctx] = (u16)(p1 + (((p1 ^ 65535) >> 4)));
-                c2row[j] = (u16)(x1 + (((x1 ^ 65535) >> 6)));
-                c2row[j + 1] = (u16)(x2 + (((x2 ^ 65535) >> 6)));
-                ctx += ctx + 1;
+                cm_learn(s, row_w, node, m, true);
+                node += node + 1;
             } else {
-                low = mid + 1;
-                while ((low ^ high) < (1u << 24)) {
-                    low <<= 8;
-                    high = (high << 8) | 0xFF;
-                    code = (code << 8) + (ip < in_len ? in[ip++] : (u32)-1);
+                rlo = split + 1;
+                while ((rlo ^ rhi) < (1u << 24)) {
+                    rlo <<= 8;
+                    rhi = (rhi << 8) | 0xFF;
+                    cursor = (cursor << 8) + (rp < in_len ? in[rp++] : (u32)-1);
                 }
-                s->C0[ctx] = (u16)(p0 - (p0 >> 2));
-                rowW[ctx] = (u16)(p1 - (p1 >> 4));
-                c2row[j] = (u16)(x1 - (x1 >> 6));
-                c2row[j + 1] = (u16)(x2 - (x2 >> 6));
-                ctx += ctx;
+                cm_learn(s, row_w, node, m, false);
+                node += node;
             }
         }
-        c2 = c1;
-        out[i] = (u8)(c1 = (u32)(ctx & 255));
-        // Pull the next byte's C1 rows (C1[c1] just became next rowA/rowW,
-        // C1[c2] next rowB) toward L1 while this byte's stores retire —
-        // the p1/p2 loads sit on the bit chain, so L2 latency there is
-        // paid 8x per byte otherwise.
+        prev2 = prev1;
+        out[i] = (u8)(prev1 = (u32)(node & 255));
+        // Pull the next byte's C1 rows (C1[prev1] just became next
+        // row_a/row_w, C1[prev2] next row_b) toward L1 while this byte's
+        // stores retire — the a/b loads sit on the bit chain, so L2
+        // latency there is paid 8x per byte otherwise.
         // Post-BWT output is run-heavy: rows stay hot within a run, so
         // only pull the fresh row when the context byte changed.
-        if (c1 != c2 && cm_c1pf()) {
+        if (prev1 != prev2 && cm_c1pf()) {
             for (int q = 0; q < 512; q += 64)
-                __builtin_prefetch((const char *)s->C1[c1] + q);
+                __builtin_prefetch((const char *)s->C1[prev1] + q);
         }
     }
 }
