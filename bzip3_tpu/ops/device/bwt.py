@@ -100,7 +100,57 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
     padkey = pos - jnp.int32(n)  # negative, increasing
     real = pos < lens
     seed = int(os.environ.get("BZ3_TPU_BWT_SEED", "4"))
-    if seed == 2:
+    if seed == 8:
+        # EIGHT-symbol seeds from DENSE 2-gram ids: the 18-bit 2-gram
+        # key histogram yields an order-preserving dense id < #distinct
+        # per row; when that fits 16 bits (any real corpus — the worst
+        # case is 257^2 distinct 2-grams), ids at offsets 0/2/4/6 pack
+        # pairwise into TWO i32 sort keys, so the one seeding sort
+        # orders full 8-grams and doubling starts at k = 8 instead
+        # of 4.  Rows with >= 2^16 distinct 2-grams fall back to the
+        # histogram 2-gram ranks (k = 2) via the same dynamic-k carry.
+        nbuck = 1 << 18
+        key2 = (sym(0) << 9) | sym(1)
+        bidx0 = jnp.arange(k_dim)[:, None]
+        cnt = (
+            jnp.zeros((k_dim, nbuck), jnp.int32)
+            .at[bidx0, jnp.where(real, key2, nbuck)]
+            .add(1, mode="drop")
+        )
+        nz = (cnt > 0).astype(jnp.int32)
+        dense = jnp.cumsum(nz, axis=1) - nz  # exclusive dense rank, [K, 2^18]
+        n_distinct = dense[:, -1] + nz[:, -1]
+        # id 0 is RESERVED for the (end, end) 2-gram (bucket 0 — which
+        # no real position can produce, sym() is 0 only past the row's
+        # length): real 2-grams take dense+1 so the end marker sorts
+        # strictly below every real 2-gram.
+        d2 = jnp.where(
+            key2 == 0, 0, jnp.take_along_axis(dense, key2, axis=1) + 1
+        )  # [K, N] <= n_distinct
+        fits = (n_distinct < (1 << 16) - 1)[:, None]
+
+        def d2_at(off):
+            # dense id of the 2-gram at pos+off; beyond the array the
+            # 2-gram is (end, end) = bucket 0, whose exclusive dense
+            # rank is 0 — so zero-padding the shift is exact.
+            return jnp.concatenate(
+                [d2[:, off:], jnp.zeros((k_dim, off), jnp.int32)], axis=1
+            )
+
+        key_a = jnp.where(
+            real & fits, (d2 << 16) | d2_at(2), jnp.int32(0)
+        )
+        key_b = jnp.where(
+            real & fits, (d2_at(4) << 16) | d2_at(6), jnp.int32(0)
+        )
+        # fallback rows compare by the raw 2-gram key only (k = 2)
+        key_a = jnp.where(real & ~fits, key2, key_a)
+        key_a = jnp.where(real, key_a, padkey)
+        key_b = jnp.where(real, key_b, padkey)
+        rank, unres = _segstart_ranks((key_a, key_b), pos)
+        k_seed_dyn = jnp.where(fits[:, 0].all(), jnp.int32(8), jnp.int32(2))
+        rank_seed = (rank, k_seed_dyn, unres)
+    elif seed == 2:
         # HISTOGRAM seeds: segment-start ranks over the 18-bit 2-symbol
         # key need no per-element ordering at all — rank = (# keys
         # strictly smaller) = exclusive-cumsum of the key histogram,
@@ -208,7 +258,9 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
         return new_rank, k * stride_full, unres
 
     rank, k_reached, unres = jax.lax.while_loop(
-        cond_full, body_full, (rank, jnp.int32(k_seed), unres)
+        cond_full,
+        body_full,
+        rank_seed if seed == 8 else (rank, jnp.int32(k_seed), unres),
     )
 
     if cap > 0:

@@ -407,9 +407,49 @@ def _renorm_count(lh, active):
 # ---------------------------------------------------------------------------
 
 
+def _ablate() -> str:
+    """Measurement-only kernel ablations (BZ3_TPU_ABLATE), threaded into
+    the kernels as a STATIC jit argument so one process can A/B kernel
+    variants without invalidating every other compiled shape (Mosaic
+    compiles through the tunnel are multi-minute and per-process).
+    Letters: A skip C2 front-ends, B skip C2 write-backs, E skip C1
+    rotation, F skip decode window maintenance, W old wide encode
+    emission, C old unfused C2 blends.  A/B/E/F break bit-exactness —
+    they exist to price subsystems on chip, never for production."""
+    return os.environ.get("BZ3_TPU_ABLATE", "")
+
+
+def _c2_window_update(e0, e1, cb, wai, wbi, new_wa, new_wb, active):
+    """Apply the (wai, wbi) <- (new_wa, new_wb) packed-word updates to
+    the extracted 2-chunk window vregs instead of blending the whole
+    table: the SSE slots this bit writes always lie inside the window
+    the front-end just gathered from (sse in [c2base, c2base+26])."""
+    ra = wai - (cb << 7)
+    rb = wbi - (cb << 7)
+    col = jax.lax.broadcasted_iota(I32, e0.shape, 1)
+    e0 = jnp.where(active & (ra == col), new_wa, e0)
+    e0 = jnp.where(active & (rb == col), new_wb, e0)
+    e1 = jnp.where(active & ((ra - 128) == col), new_wa, e1)
+    e1 = jnp.where(active & ((rb - 128) == col), new_wb, e1)
+    return e0, e1
+
+
+def _c2_window_writeback(tbl_vals, e0, e1, cb):
+    """Scan-write the updated window back over the hoisted table value:
+    per chunk one 2-way select (4 ops) instead of the generic 2-entry
+    blend (6 ops) — the only chunks that can differ are cb and cb+1."""
+    w = tbl_vals.shape[1]
+    cols = []
+    for k in range(w // 128):
+        chunk = tbl_vals[:, k * 128 : (k + 1) * 128]
+        chunk = jnp.where(cb == k, e0, jnp.where(cb == (k - 1), e1, chunk))
+        cols.append(chunk)
+    return jnp.concatenate(cols, axis=1) if len(cols) > 1 else cols[0]
+
+
 def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True,
-                        resume=False, first=True, last=True):
-    _ab = os.environ.get('BZ3_TPU_ABLATE', '')
+                        resume=False, first=True, last=True, ablate=''):
+    _ab = ablate
     n_flushes = n_steps // 128
 
     def kernel(*refs):
@@ -643,6 +683,7 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True,
 
             ctx = jnp.ones((lanes, 128), I32)
             sh_cur, fe_cur = fe_single(ctx, 0)
+            win_cur = None  # extracted C2 window of the CURRENT bit's table
             rowa_ups = []
             # per-bit stream lookahead: ONE packed-word gather at the
             # (bit-start-known) ip yields the next 4 bytes; the five
@@ -701,6 +742,7 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True,
                             c2win = (*_extract2(c2vs[t + 1], c2cb), c2cb)
                     else:
                         c2win = None
+                    win_nxt = c2win
                     sh_nxt, cand0, cand1 = fe_pair(ctx, t + 1, c2win)
                 s3p, p0, p1, x1, x2, rel, sse_rel, wa, wb = fe_cur
                 if not spec_mul:
@@ -737,18 +779,33 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True,
                 )
                 if 'B' not in _ab:
                     new_wa, new_wb = _c2_pair_updates(sse_rel, v1, v2, wa, wb)
-                    c2[t][...] = _blend_wide(
-                        c2vs[t],
-                        [
-                            (_srl(sse_rel, 1), new_wa, active),
-                            (_srl(sse_rel + 1, 1), new_wb, active),
-                        ],
-                    )
+                    if win_cur is not None and 'C' not in _ab:
+                        # fused path: update the 2-chunk window vregs
+                        # the front-end already extracted, then one
+                        # 2-way-select scan-write per chunk (the only
+                        # chunks that can differ are cb and cb+1)
+                        e0u, e1u = _c2_window_update(
+                            win_cur[0], win_cur[1], win_cur[2],
+                            _srl(sse_rel, 1), _srl(sse_rel + 1, 1),
+                            new_wa, new_wb, active,
+                        )
+                        c2[t][...] = _c2_window_writeback(
+                            c2vs[t], e0u, e1u, win_cur[2]
+                        )
+                    else:
+                        c2[t][...] = _blend_wide(
+                            c2vs[t],
+                            [
+                                (_srl(sse_rel, 1), new_wa, active),
+                                (_srl(sse_rel + 1, 1), new_wb, active),
+                            ],
+                        )
                 rowa_ups.append((p1wi, _set_half(p1w, ctx, u1), active))
                 ctx = ctx + ctx + bit.astype(I32)
                 if t < 7:
                     sh_cur = sh_nxt
                     fe_cur = fe_sel(bit, cand0, cand1)
+                    win_cur = win_nxt
 
             rowa[...] = _blend_wide(rowa_v, rowa_ups)
 
@@ -901,10 +958,10 @@ def _c0_shapes(lanes):
     return [pltpu.VMEM((lanes, 128), I32) for _ in range(8)]
 
 
-@partial(jax.jit, static_argnames=("lanes", "n_steps", "in_chunks", "interpret", "spec"))
-def _decode_call(payload, plens, olens, lanes, n_steps, in_chunks, interpret, spec=False):
+@partial(jax.jit, static_argnames=("lanes", "n_steps", "in_chunks", "interpret", "spec", "ablate"))
+def _decode_call(payload, plens, olens, lanes, n_steps, in_chunks, interpret, spec=False, ablate=''):
     """payload: [2, lanes, in_chunks//2, 8, 128] i32 (slot-split view)."""
-    kern = _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=spec)
+    kern = _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=spec, ablate=ablate)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((lanes, n_steps), I32),
@@ -937,13 +994,15 @@ def _decode_call(payload, plens, olens, lanes, n_steps, in_chunks, interpret, sp
 
 
 @partial(jax.jit, static_argnames=(
-    "lanes", "n_steps", "in_chunks", "interpret", "spec", "first", "last"))
+    "lanes", "n_steps", "in_chunks", "interpret", "spec", "first", "last",
+    "ablate"))
 def _decode_call_resume(payload, plens, olens, startstop, out_prev,
                         regs, c1s, smalls, c2s,
                         lanes, n_steps, in_chunks, interpret, spec,
-                        first, last):
+                        first, last, ablate=''):
     kern = _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=spec,
-                               resume=True, first=first, last=last)
+                               resume=True, first=first, last=last,
+                               ablate=ablate)
     outs = pl.pallas_call(
         kern,
         out_shape=(
@@ -998,7 +1057,8 @@ def _decode_call_resume(payload, plens, olens, startstop, out_prev,
     return outs
 
 
-def _decode_resumable(pay, pl_, ol, lanes, n_steps, in_chunks, interpret, spec):
+def _decode_resumable(pay, pl_, ol, lanes, n_steps, in_chunks, interpret, spec,
+                      ablate=''):
     out_buf = jnp.zeros((lanes, n_steps), I32)
     regs = jnp.zeros((8, lanes, 128), I32)
     c1s = jnp.zeros((lanes, 256, 128), I32)
@@ -1013,7 +1073,7 @@ def _decode_resumable(pay, pl_, ol, lanes, n_steps, in_chunks, interpret, spec):
             pay, pl_, ol, ss, out_buf, regs, c1s, smalls, c2s,
             lanes=lanes, n_steps=n_steps, in_chunks=in_chunks,
             interpret=interpret, spec=spec,
-            first=(j == 0), last=(j == len(starts) - 1),
+            first=(j == 0), last=(j == len(starts) - 1), ablate=ablate,
         )
     return out_buf
 
@@ -1069,10 +1129,12 @@ def cm_decode_pallas_batch(
         ol = jnp.zeros((lanes,), I32).at[:rows].set(out_lens[g : g + rows].astype(I32))
         if n_steps > _chunk_steps(lanes) or os.environ.get("BZ3_TPU_CM_RESUME", "0") == "1":
             out = _decode_resumable(
-                pay, pl_, ol, lanes, n_steps, in_chunks, interpret, spec
+                pay, pl_, ol, lanes, n_steps, in_chunks, interpret, spec,
+                ablate=_ablate(),
             )
         else:
-            out = _decode_call(pay, pl_, ol, lanes, n_steps, in_chunks, interpret, spec)
+            out = _decode_call(pay, pl_, ol, lanes, n_steps, in_chunks,
+                               interpret, spec, ablate=_ablate())
         outs.append(out[:rows, :out_width].astype(jnp.uint8))
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
@@ -1156,10 +1218,11 @@ def _load_tables_in(c1, rowa, rowb, c0, c2, c1_in, small_in, c2_in, sem, lanes):
 
 
 def _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=True,
-                        resume=False, first=True, last=True):
+                        resume=False, first=True, last=True, ablate=''):
     """resume=False is the original single-launch kernel; resume=True
     adds spill/reload refs and runs steps [start, start+chunk) of the
     absolute loop (start from an SMEM scalar, a multiple of 256)."""
+    _ab = ablate
 
     def kernel(*refs):
         if resume:
@@ -1310,6 +1373,7 @@ def _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=True,
                 ctx = ctx + ctx + bit.astype(I32)
                 c = (c << 1) & 0xFF
             fes = []
+            wins = []  # per-bit extracted C2 window (or None)
             for t in range(8):
                 ctxv = ctxs[t]
                 rel = ctxv - (1 << t)
@@ -1326,6 +1390,11 @@ def _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=True,
                 sse_rel = (2 * rel + f) * 17 + j
                 wai = _srl(sse_rel, 1)
                 wbi = _srl(sse_rel + 1, 1)
+                if 'A' in _ab:
+                    wins.append(None)
+                    fes.append((p, p0, p0, p0, p0, rel, sse_rel, p0w, p0w,
+                                p0w, p0wi, p1w, p1wi))
+                    continue
                 if c2vs[t].shape[1] > 256:
                     # Single known context: idx - base = j in [0, 17]
                     # for base = (2*rel+f)*17 — packed words span <= 10,
@@ -1341,9 +1410,11 @@ def _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=True,
                         we0, we1 = _extract2(c2vs[t], c2cb)
                     wa = _win_pair_gather(we0, we1, c2cb, wai)
                     wb = _win_pair_gather(we0, we1, c2cb, wbi)
+                    wins.append((we0, we1, c2cb))
                 else:
                     wa = _gather_wide(c2vs[t], wai)
                     wb = _gather_wide(c2vs[t], wbi)
+                    wins.append(None)
                 x1 = _half(wa, sse_rel)
                 x2 = _half(wb, sse_rel + 1)
                 ssep = x1 + (((x2 - x1) * (p & 4095)) >> 12)
@@ -1358,6 +1429,21 @@ def _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=True,
             # candidate products need no post-selection by bit.
             if spec_mul:
                 step = _mul_shift18_i32(high - low, fes[0][0])
+            # Narrow emission staging (default; 'W' restores the old
+            # per-bit [L, 256] blend): each bit writes its <= 4 renorm
+            # bytes into a [L, 128] staging at the within-byte offset
+            # kc, and ONE spread pass per byte moves them into the
+            # circular carry.  A bit always writes 4 slots at [kc,
+            # kc+4) unconditionally — safe because the last bit with
+            # kc_t <= s is exactly the bit whose emission covers slot
+            # s (kc is the cumsum of k), so later writers overwrite
+            # any over-write, and slots >= final kc are masked off in
+            # the spread.
+            wide_emit = 'W' in _ab
+            optr0 = optr
+            if not wide_emit:
+                stg = jnp.zeros((lanes, 128), I32)
+                kc = jnp.zeros((lanes, 128), I32)
             for t in range(8):
                 (s3p, p0, p1, x1, x2, rel, sse_rel, wa, wb,
                  p0w, p0wi, p1w, p1wi) = fes[t]
@@ -1374,21 +1460,30 @@ def _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=True,
                     step = jnp.where(k == 2, m2, step)
                     step = jnp.where(k == 3, m3, step)
                     step = jnp.where(k == 4, m4, step)
-                # one range-masked blend emits all k <= 4 renorm bytes:
-                # the carry slot at circular offset j < k takes byte
-                # (low >> (24 - 8j)) — a per-element variable shift, so
-                # the four one-hot passes collapse into one.
-                col_rel = (
-                    wcol_iota
-                    - jnp.broadcast_to((optr & 255)[:, :1], (lanes, 256))
-                ) & 255
-                sh = 24 - (jnp.minimum(col_rel, 3) << 3)
-                vals = _srl(
-                    jnp.broadcast_to(low[:, :1], (lanes, 256)), sh
-                ) & 0xFF
-                wv = jnp.where(
-                    col_rel < jnp.broadcast_to(k[:, :1], (lanes, 256)), vals, wv
-                )
+                if wide_emit:
+                    # one range-masked blend emits all k <= 4 renorm
+                    # bytes straight into the [L, 256] circular carry
+                    col_rel = (
+                        wcol_iota
+                        - jnp.broadcast_to((optr & 255)[:, :1], (lanes, 256))
+                    ) & 255
+                    sh = 24 - (jnp.minimum(col_rel, 3) << 3)
+                    vals = _srl(
+                        jnp.broadcast_to(low[:, :1], (lanes, 256)), sh
+                    ) & 0xFF
+                    wv = jnp.where(
+                        col_rel < jnp.broadcast_to(k[:, :1], (lanes, 256)),
+                        vals, wv,
+                    )
+                else:
+                    col_rel = col128 - kc
+                    sh = 24 - (jnp.clip(col_rel, 0, 3) << 3)
+                    stg = jnp.where(
+                        (col_rel >= 0) & (col_rel < 4),
+                        _srl(low, sh) & 0xFF,
+                        stg,
+                    )
+                    kc = kc + k
                 optr = optr + k
                 low = _shl8k(low, k)
                 high = _shl8k(high, k) | _mask8k(k)
@@ -1396,22 +1491,53 @@ def _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=True,
                 c0[t][...] = jnp.where(
                     active & (col128 == p0wi), _set_half(p0w, rel, u0), c0vs[t]
                 )
-                new_wa, new_wb = _c2_pair_updates(sse_rel, v1, v2, wa, wb)
-                c2[t][...] = _blend_wide(
-                    c2vs[t],
-                    [
-                        (_srl(sse_rel, 1), new_wa, active),
-                        (_srl(sse_rel + 1, 1), new_wb, active),
-                    ],
-                )
+                if 'B' not in _ab:
+                    new_wa, new_wb = _c2_pair_updates(sse_rel, v1, v2, wa, wb)
+                    if wins[t] is not None and 'C' not in _ab:
+                        e0u, e1u = _c2_window_update(
+                            wins[t][0], wins[t][1], wins[t][2],
+                            _srl(sse_rel, 1), _srl(sse_rel + 1, 1),
+                            new_wa, new_wb, active,
+                        )
+                        c2[t][...] = _c2_window_writeback(
+                            c2vs[t], e0u, e1u, wins[t][2]
+                        )
+                    else:
+                        c2[t][...] = _blend_wide(
+                            c2vs[t],
+                            [
+                                (_srl(sse_rel, 1), new_wa, active),
+                                (_srl(sse_rel + 1, 1), new_wb, active),
+                            ],
+                        )
                 rowa_ups.append((p1wi, _set_half(p1w, ctxs[t], u1), active))
 
             rowa[...] = _blend_wide(rowa_v, rowa_ups)
 
+            if not wide_emit:
+                # spread this byte's staged emission into the circular
+                # carry: carry slot with rel = (slot - optr0) mod 256
+                # takes stg[rel] when rel < (optr - optr0)
+                rel256 = (
+                    wcol_iota
+                    - jnp.broadcast_to((optr0 & 255)[:, :1], (lanes, 256))
+                ) & 255
+                idx = rel256 & 31  # <= 32 bytes per byte-step
+                g = jnp.concatenate(
+                    [
+                        _gather_chunk(stg, idx[:, :128]),
+                        _gather_chunk(stg, idx[:, 128:]),
+                    ],
+                    axis=1,
+                )
+                kc_end = jnp.broadcast_to((optr - optr0)[:, :1], (lanes, 256))
+                wv = jnp.where(rel256 < kc_end, g, wv)
+
             c1o = c1v
             c2v = jnp.where(active, c1v, c2v)
             c1v = jnp.where(active, ctx & 255, c1v)
-            _rotate_c1_rows(c1, rowa, rowb, scal, c1o, c1v, active, lanes)
+            if 'E' not in _ab:
+                _rotate_c1_rows(c1, rowa, rowb, scal, c1o, c1v, active, lanes)
 
             # ---- move filled carry halves into staging (checked every 4
             # steps; emission <= 32 B/step keeps the 256-byte carry safe)
@@ -1532,9 +1658,9 @@ def _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=True,
     return kernel
 
 
-@partial(jax.jit, static_argnames=("lanes", "n_steps", "out_chunks", "interpret", "spec"))
-def _encode_call(data, ilens, lanes, n_steps, out_chunks, interpret, spec=False):
-    kern = _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=spec)
+@partial(jax.jit, static_argnames=("lanes", "n_steps", "out_chunks", "interpret", "spec", "ablate"))
+def _encode_call(data, ilens, lanes, n_steps, out_chunks, interpret, spec=False, ablate=''):
+    kern = _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=spec, ablate=ablate)
     out, olens = pl.pallas_call(
         kern,
         out_shape=(
@@ -1571,15 +1697,17 @@ def _encode_call(data, ilens, lanes, n_steps, out_chunks, interpret, spec=False)
 
 
 @partial(jax.jit, static_argnames=(
-    "lanes", "n_steps", "out_chunks", "interpret", "spec", "first", "last"))
+    "lanes", "n_steps", "out_chunks", "interpret", "spec", "first", "last",
+    "ablate"))
 def _encode_call_resume(data, ilens, startstop, out_prev, c1s, smalls,
                         c2s, regs, wv, wstb,
                         lanes, n_steps, out_chunks, interpret, spec,
-                        first, last):
+                        first, last, ablate=''):
     """One launch of the RESUMABLE encode (steps [start, stop) from the
     SMEM startstop pair); all state arrays are input-output aliased."""
     kern = _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=spec,
-                               resume=True, first=first, last=last)
+                               resume=True, first=first, last=last,
+                               ablate=ablate)
     outs = pl.pallas_call(
         kern,
         out_shape=(
@@ -1641,7 +1769,8 @@ def _encode_call_resume(data, ilens, startstop, out_prev, c1s, smalls,
     return outs
 
 
-def _encode_resumable(arr, il, lanes, n_steps, out_chunks, interpret, spec):
+def _encode_resumable(arr, il, lanes, n_steps, out_chunks, interpret, spec,
+                      ablate=''):
     """Multi-launch encode for blocks whose single launch would trip
     the kernel-duration watchdog (PERF_NOTES R3.8)."""
     out_buf = jnp.zeros((2, lanes, out_chunks // 2, 8, 128), I32)
@@ -1661,7 +1790,7 @@ def _encode_resumable(arr, il, lanes, n_steps, out_chunks, interpret, spec):
             arr, il, ss, out_buf, c1s, smalls, c2s, regs, wv, wstb,
             lanes=lanes, n_steps=n_steps, out_chunks=out_chunks,
             interpret=interpret, spec=spec,
-            first=(j == 0), last=(j == len(starts) - 1),
+            first=(j == 0), last=(j == len(starts) - 1), ablate=ablate,
         )
     return out_buf, olens
 
@@ -1700,10 +1829,12 @@ def cm_encode_pallas_batch(
         il = jnp.zeros((lanes,), I32).at[:rows].set(lengths[g : g + rows].astype(I32))
         if n_steps > _chunk_steps(lanes) or os.environ.get("BZ3_TPU_CM_RESUME", "0") == "1":
             out, olens = _encode_resumable(
-                arr, il, lanes, n_steps, out_chunks, interpret, spec
+                arr, il, lanes, n_steps, out_chunks, interpret, spec,
+                ablate=_ablate(),
             )
         else:
-            out, olens = _encode_call(arr, il, lanes, n_steps, out_chunks, interpret, spec)
+            out, olens = _encode_call(arr, il, lanes, n_steps, out_chunks,
+                                      interpret, spec, ablate=_ablate())
         # unsplit the slot-major 5-D output back to [L, w_pad]
         out = out.transpose(1, 2, 0, 3, 4).reshape(lanes, w_pad)
         outs.append(out[:rows, :w].astype(jnp.uint8))
