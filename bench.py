@@ -7,31 +7,29 @@ Prints ONE JSON line:
 Baseline: the reference bzip3 does ~17 MiB/s encode and ~23 MiB/s
 decode per x64 thread (reference README.md:113) — a single-thread
 encode+decode round trip of 1/(1/17+1/23) = 9.78 MiB/s.  vs_baseline
-is the primary engine's round-trip MiB/s over that number.
+is the HEADLINE engine's round-trip MiB/s over that number.
 
-The line always carries BOTH engines' numbers:
+The HEADLINE metric is the TPU device engine at the reference's
+headline `-b 16` over a lane-filled corpus (BENCH_DEVICE_B16_MIB,
+default 256 MiB = 16 blocks); if the device probe is unavailable or
+cut by the budget the headline falls back to the native engine (the
+metric name says which).  The line always carries both engines:
 
-- primary (env BENCH_ENGINE, default native): round trip at
-  BENCH_BLOCK_MIB (default 16, the reference's headline `-b 16`) over
-  a BENCH_MIB (default 128) MiB synthetic enwik-like corpus — eight
-  blocks, so the pthread pool can use up to eight cores.
-- device_*: the TPU pipeline (Pallas CM + XLA BWT/CRC + host LZP/RLE)
-  measured at BENCH_DEVICE_BLOCK_MIB (default 1) blocks over
-  BENCH_DEVICE_MIB (default 32) MiB — the block size that fills the
-  CM kernel's lane group on one chip.  BENCH_DEVICE=0 skips it (e.g.
-  no accelerator); BENCH_DEVICE_B16=0 skips the `-b 16` device probe
-  (BENCH_DEVICE_B16_MIB, default 128, of 16 MiB blocks — LANE-FILLED,
-  two extra multi-minute kernel compiles).
-- device_text_*: the same device probe on a corpus WITH long-range
-  repeats (make_corpus_repeats) — the plain corpus is LZP-adversarial
-  (no >= 40-byte matches), so it is the device engine's worst case;
-  enwik-class data runs ~1.8x faster (BENCH_DEVICE_TEXT=0 skips).
+- device_b16_*: the headline probe (Pallas CM + XLA BWT/CRC + host
+  LZP/RLE at 16 MiB blocks).  BENCH_DEVICE_B16=0 skips.
+- native_*: the C++ engine pool at BENCH_BLOCK_MIB (default 16) over
+  BENCH_MIB (default 128) MiB — eight blocks, so the pthread pool can
+  use up to eight cores.  BENCH_NATIVE=0 skips.
 - ref_pool_*: the compiled REFERENCE binary's own pthread pool on the
-  same corpus/box (pool-vs-pool); vs_ref_pool is the honest ratio.
-  vs_baseline stays vs the published single-thread 9.78 MiB/s
-  (baseline_mode says so).
+  same corpus/box (pool-vs-pool); vs_ref_pool is the honest ratio for
+  the headline engine, native_vs_ref_pool for the native one.
+- device_*: a small-block device probe (BENCH_DEVICE_BLOCK_MIB,
+  default 1 MiB) plus device_text_* on a corpus with long-range
+  repeats (the LZP-firing regime; the plain corpus is
+  LZP-adversarial) and sharded_* through shard_map.
+  BENCH_DEVICE_SMALL=0 skips these three.
 
-Set BENCH_ENGINE=device to make the device engine the primary metric.
+BENCH_ENGINE=native pins the headline to the native engine.
 """
 
 import json
@@ -211,12 +209,13 @@ def run_engine(engine, corpus: bytes, block_size: int, reps: int = 1):
 def main():
     size_mib = float(os.environ.get("BENCH_MIB", "128"))
     block_mib = float(os.environ.get("BENCH_BLOCK_MIB", "16"))
-    engine_name = os.environ.get("BENCH_ENGINE", "native")
+    engine_name = os.environ.get("BENCH_ENGINE", "device")
     dev_mib = float(os.environ.get("BENCH_DEVICE_MIB", "32"))
     dev_block_mib = float(os.environ.get("BENCH_DEVICE_BLOCK_MIB", "1"))
-    dev_b16_mib = float(os.environ.get("BENCH_DEVICE_B16_MIB", "128"))
+    dev_b16_mib = float(os.environ.get("BENCH_DEVICE_B16_MIB", "256"))
     with_device = os.environ.get("BENCH_DEVICE", "1") != "0"
     with_device_b16 = os.environ.get("BENCH_DEVICE_B16", "1") == "1"
+    with_device_small = os.environ.get("BENCH_DEVICE_SMALL", "1") == "1"
     with_sharded = os.environ.get("BENCH_SHARDED", "1") == "1"
 
     from bzip3_tpu.engines import get_engine
@@ -225,8 +224,7 @@ def main():
     result = {}
     device_stats = None
     device_b16_stats = None
-    primary = None
-    primary_block = block_mib
+    native_stats = None
 
     emitted = [False]
 
@@ -235,7 +233,7 @@ def main():
             return
         emitted[0] = True
         _finalize(
-            result, engine_name, primary, primary_block, baseline,
+            result, engine_name, native_stats, block_mib, baseline,
             device_stats, device_b16_stats, dev_block_mib, partial,
         )
         print(json.dumps(result), flush=True)
@@ -251,22 +249,21 @@ def main():
 
     signal.signal(signal.SIGTERM, _bail)
     signal.signal(signal.SIGALRM, _bail)
-    signal.alarm(int(os.environ.get("BENCH_BUDGET_S", "2700")))
+    signal.alarm(int(os.environ.get("BENCH_BUDGET_S", "3300")))
 
-    # ---- primary (host) engine first --------------------------------
-    if engine_name != "device":
-        engine = get_engine(engine_name)
+    # ---- native engine + live reference pool (fast, always) ---------
+    if os.environ.get("BENCH_NATIVE", "1") == "1":
+        engine = get_engine("native")
         corpus = make_corpus(int(size_mib * (1 << 20)))
-        primary = run_engine(
+        native_stats = run_engine(
             engine,
             corpus,
             int(block_mib * (1 << 20)),
             reps=int(os.environ.get("BENCH_REPS", "2")),
         )
-        primary_block = block_mib
         # Live pool-vs-pool reference measurement on the same corpus —
-        # the honest headline comparison (the published 9.78 MiB/s
-        # baseline is SINGLE-thread).
+        # the honest host comparison (the published 9.78 MiB/s baseline
+        # is SINGLE-thread).
         if os.environ.get("BENCH_REF", "1") == "1":
             try:
                 ref = measure_ref_pool(corpus, block_mib)
@@ -279,72 +276,57 @@ def main():
                 result["ref_pool_error"] = f"{type(exc).__name__}: {exc}"[:120]
         del corpus
 
-    # ---- device engine (the TPU pipeline) ---------------------------
-    if with_device or engine_name in ("device", "sharded"):
+    # ---- device engine: the `-b 16` HEADLINE first -------------------
+    if with_device or engine_name == "device":
         try:
             dev = get_engine("device")
-            dev_corpus = make_corpus(int(dev_mib * (1 << 20)))
-            device_stats = run_engine(
-                dev,
-                dev_corpus,
-                int(dev_block_mib * (1 << 20)),
-                reps=int(os.environ.get("BENCH_DEVICE_REPS", "2")),
-            )
-            if os.environ.get("BENCH_DEVICE_TEXT", "1") == "1":
-                # Same block size on the repeat-bearing corpus: the
-                # regime where the LZP pre-pass fires and the bucketed
-                # widths shrink every downstream stage.
-                dt = run_engine(
-                    dev,
-                    make_corpus_repeats(int(dev_mib * (1 << 20))),
-                    int(dev_block_mib * (1 << 20)),
-                    reps=1,
-                )
-                result["device_text_rt_MiBs"] = dt["rt_MiBs"]
-                result["device_text_encode_MiBs"] = dt["encode_MiBs"]
-                result["device_text_decode_MiBs"] = dt["decode_MiBs"]
-                result["device_text_ratio"] = dt["ratio"]
-                result["device_text_vs_baseline"] = round(
-                    dt["rt_MiBs"] / baseline, 4
-                )
             if with_device_b16:
-                # LANE-FILLED `-b 16`: a batch of 16 MiB blocks (not a
-                # single block starving the CM kernel's lane group) —
-                # the honest number for the north-star config.
+                # LANE-FILLED `-b 16`: a batch of 16 MiB blocks (the
+                # CM kernel lane group fills across the wave) — the
+                # honest number for the north-star config, and the
+                # headline metric of this bench.
                 device_b16_stats = run_engine(
-                    dev, make_corpus(int(dev_b16_mib) << 20), 16 << 20
+                    dev, make_corpus(int(dev_b16_mib) << 20), 16 << 20,
+                    reps=int(os.environ.get("BENCH_DEVICE_B16_REPS", "1")),
                 )
-            if os.environ.get("BENCH_HYBRID", "0") == "1":
-                # Off by default: at bench scale the device pipeline's
-                # ~1 s fixed per-call overhead makes any split a net
-                # loss (measured 3.1 vs native 12.9 RT at 16 MiB);
-                # break-even needs GB-scale batches.  See PERF_NOTES.
-                # Box-level maximum: pool + chip splitting one batch.
-                hy = run_engine(
-                    get_engine("hybrid"),
+            if with_device_small:
+                dev_corpus = make_corpus(int(dev_mib * (1 << 20)))
+                device_stats = run_engine(
+                    dev,
                     dev_corpus,
                     int(dev_block_mib * (1 << 20)),
-                    reps=2,
+                    reps=int(os.environ.get("BENCH_DEVICE_REPS", "2")),
                 )
-                result["hybrid_rt_MiBs"] = hy["rt_MiBs"]
-                result["hybrid_encode_MiBs"] = hy["encode_MiBs"]
-                result["hybrid_decode_MiBs"] = hy["decode_MiBs"]
-            if with_sharded:
-                # On a single chip this equals the device engine modulo
-                # shard_map overhead; on a mesh it scales block-DP.
-                sh = run_engine(
-                    get_engine("sharded"),
-                    dev_corpus,
-                    int(dev_block_mib * (1 << 20)),
-                )
-                result["sharded_rt_MiBs"] = sh["rt_MiBs"]
-                result["sharded_n_devices"] = len(__import__("jax").devices())
+                if os.environ.get("BENCH_DEVICE_TEXT", "1") == "1":
+                    # Same block size on the repeat-bearing corpus: the
+                    # regime where the LZP pre-pass fires and bucketed
+                    # widths shrink every downstream stage.
+                    dt = run_engine(
+                        dev,
+                        make_corpus_repeats(int(dev_mib * (1 << 20))),
+                        int(dev_block_mib * (1 << 20)),
+                        reps=1,
+                    )
+                    result["device_text_rt_MiBs"] = dt["rt_MiBs"]
+                    result["device_text_encode_MiBs"] = dt["encode_MiBs"]
+                    result["device_text_decode_MiBs"] = dt["decode_MiBs"]
+                    result["device_text_ratio"] = dt["ratio"]
+                    result["device_text_vs_baseline"] = round(
+                        dt["rt_MiBs"] / baseline, 4
+                    )
+                if with_sharded:
+                    # On a single chip this equals the device engine
+                    # modulo shard_map overhead; on a mesh it scales
+                    # block-DP.
+                    sh = run_engine(
+                        get_engine("sharded"),
+                        dev_corpus,
+                        int(dev_block_mib * (1 << 20)),
+                    )
+                    result["sharded_rt_MiBs"] = sh["rt_MiBs"]
+                    result["sharded_n_devices"] = len(__import__("jax").devices())
         except Exception as exc:  # no accelerator: report, don't die
             result["device_error"] = f"{type(exc).__name__}: {exc}"[:200]
-
-    if engine_name == "device" and device_stats is not None:
-        primary = device_stats
-        primary_block = dev_block_mib
 
     if os.environ.get("BZ3_TPU_PROFILE", "0") == "1":
         # Per-stage wall times to stderr (stdout stays one JSON line).
@@ -359,30 +341,57 @@ def main():
 
 
 def _finalize(
-    result, engine_name, primary, primary_block, baseline,
+    result, engine_name, native_stats, block_mib, baseline,
     device_stats, device_b16_stats, dev_block_mib, partial,
 ):
-    if primary is None:
-        primary = device_stats or {
+    # HEADLINE: the device engine at `-b 16` (the assignment's north
+    # star).  Falls back to the native engine (metric name says so)
+    # when the device probe is unavailable or was cut by the budget.
+    if engine_name != "native" and device_b16_stats is not None:
+        primary, metric = device_b16_stats, "bz3v1_roundtrip_b16_device"
+    elif engine_name != "native" and device_stats is not None:
+        primary = device_stats
+        metric = f"bz3v1_roundtrip_b{int(dev_block_mib)}_device"
+    elif native_stats is not None:
+        primary, metric = native_stats, f"bz3v1_roundtrip_b{int(block_mib)}_native"
+    else:
+        primary, metric = {
             "rt_MiBs": 0.0, "encode_MiBs": 0.0, "decode_MiBs": 0.0,
             "ratio": 0.0, "corpus_MiB": 0.0,
-        }
+        }, "bz3v1_roundtrip_none"
     result.update(
         {
-            "metric": f"bz3v1_roundtrip_b{int(primary_block)}_{engine_name}",
+            "metric": metric,
             "value": primary["rt_MiBs"],
             "unit": "MiB/s",
             "vs_baseline": round(primary["rt_MiBs"] / baseline, 4),
             "baseline_mode": "published_single_thread_9.78MiBs",
             "encode_MiBs": primary["encode_MiBs"],
             "decode_MiBs": primary["decode_MiBs"],
-            "ratio": primary["ratio"],
-            "corpus_MiB": primary["corpus_MiB"],
-            "engine": engine_name,
+            "ratio": primary.get("ratio", 0.0),
+            "corpus_MiB": primary.get("corpus_MiB", 0.0),
+            "engine": metric.rsplit("_", 1)[-1],
         }
     )
-    if "ref_pool_rt_MiBs" in result and result["ref_pool_rt_MiBs"]:
-        # pool-vs-pool: our engine's pool against the reference's own
+    if native_stats is not None:
+        result.update(
+            {
+                "native_rt_MiBs": native_stats["rt_MiBs"],
+                "native_encode_MiBs": native_stats["encode_MiBs"],
+                "native_decode_MiBs": native_stats["decode_MiBs"],
+                "native_ratio": native_stats["ratio"],
+                "native_corpus_MiB": native_stats["corpus_MiB"],
+                "native_vs_baseline": round(
+                    native_stats["rt_MiBs"] / baseline, 4
+                ),
+            }
+        )
+        if result.get("ref_pool_rt_MiBs"):
+            result["native_vs_ref_pool"] = round(
+                native_stats["rt_MiBs"] / result["ref_pool_rt_MiBs"], 4
+            )
+    if result.get("ref_pool_rt_MiBs"):
+        # pool-vs-pool: the headline engine against the reference's own
         # pthread pool, measured live on the same corpus/box.
         result["vs_ref_pool"] = round(
             primary["rt_MiBs"] / result["ref_pool_rt_MiBs"], 4
@@ -405,6 +414,7 @@ def _finalize(
                 "device_b16_rt_MiBs": device_b16_stats["rt_MiBs"],
                 "device_b16_encode_MiBs": device_b16_stats["encode_MiBs"],
                 "device_b16_decode_MiBs": device_b16_stats["decode_MiBs"],
+                "device_b16_ratio": device_b16_stats["ratio"],
                 "device_b16_corpus_MiB": device_b16_stats["corpus_MiB"],
                 "device_b16_vs_baseline": round(
                     device_b16_stats["rt_MiBs"] / baseline, 4

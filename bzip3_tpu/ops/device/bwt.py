@@ -205,6 +205,14 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
     stride_full = max(
         2, int(os.environ.get("BZ3_TPU_BWT_STRIDE_FULL", "6"))
     )
+    # Very wide rows: each full-round sort materializes (stride_full+1)
+    # int32 operands of the batch shape twice (sort in+out) — at
+    # n >= 96 Mi that is the HBM peak of the whole pipeline, so narrow
+    # the stride unless the env pinned it explicitly.
+    if n >= (int(os.environ.get("BZ3_TPU_BWT_WIDE_MIB", "96")) << 20) and (
+        "BZ3_TPU_BWT_STRIDE_FULL" not in os.environ
+    ):
+        stride_full = 4
     # Compacted-round capacity: once every row's unresolved-position
     # count fits in C, refinement rounds sort only those positions
     # ([K, C] keys) instead of the whole batch.  On text the initial

@@ -1160,16 +1160,19 @@ _CM_CHUNK_STEPS = (int(os.environ.get("BZ3_TPU_CM_CHUNK_MI", "16")) << 20)
 
 
 def _chunk_steps(lanes: int) -> int:
-    """Per-launch step budget, scaled so KERNEL DURATION stays roughly
-    constant in lane count: per-step cost is ~linear in L past 8 lanes
-    (PERF_NOTES R3.11 — total throughput is flat, so per-step wall
-    grows with L), and the watchdog bracket (~62-140 s, R3.8) was
-    measured in wall time.  16 Mi steps at L=8 ~= 60 s of decode; the
-    same wall at L=32 is 4 Mi steps.  Multiples of 256 keep the staging
-    double-buffers' slot parity and flush alignment across launch
-    cuts.  Launch-boundary cost is ~10 MB of state spill/reload per
-    32-lane group — microseconds against a multi-second launch."""
-    return max(256, (_CM_CHUNK_STEPS * 8 // max(8, lanes)) & ~255)
+    """Per-launch step budget, scaled so KERNEL DURATION stays under
+    the ~62 s watchdog floor (R3.8): per-step cost is ~linear in L past
+    8 lanes but so is throughput up to L=32 (R4 sweep: dec 7.0/8.6 at
+    L=16/32, 3.7 us/step at 32), so a launch's WALL is ~(L/16) x
+    2.3 us x steps.  16 Mi steps at L<=16 is ~38 s of decode; L=32
+    takes 8 Mi (~31 s).  Fewer, longer launches also mean fewer
+    distinct (first, last) kernel variants to Mosaic-compile — at 2
+    launches only two variants exist per direction.  Multiples of 256
+    keep the staging double-buffers' slot parity and flush alignment
+    across launch cuts.  Launch-boundary cost is ~10 MB of state
+    spill/reload per 32-lane group — microseconds against a
+    multi-second launch."""
+    return max(256, (_CM_CHUNK_STEPS * 16 // max(16, lanes)) & ~255)
 _C2_SUM = sum(-(-(17 << t) // 128) * 128 for t in range(8))
 
 

@@ -454,11 +454,15 @@ class DevicePipeline:
         # (measured: a 64 Mi-step single CM launch crashes it, 32 Mi
         # survives) — the RESUMABLE CM (state spill/reload between
         # <= 16 Mi-step launches, PERF_NOTES R3.8) removes that limit,
-        # so the remaining cap is HBM: the CM lane group pads to 8
-        # rows, and at 64 MiB blocks the staged arrays + the BWT sort
-        # working set already reach ~6 GiB of the 16 GiB chip; 128 MiB
-        # would not fit.  64 MiB is validated end-to-end on chip.
-        max_mib = float(os.environ.get("BZ3_TPU_MAX_DEVICE_BLOCK_MIB", "64"))
+        # so the remaining cap is HBM.  The CM lane group pads to 8
+        # rows; at 128 MiB blocks the CM staging (in 4 GiB + out
+        # ~4.6 GiB, i32-per-byte) and the BWT sort working set (~7 GiB
+        # with stride-4 full rounds past BZ3_TPU_BWT_WIDE_MIB, bwt.py)
+        # run in SEPARATE programs (split dispatch), so the peak stays
+        # ~10 GiB of the 16 GiB chip.  256 MiB would not fit; the
+        # format max 511 MiB (src/libbz3.c:536) needs the native
+        # engine.
+        max_mib = float(os.environ.get("BZ3_TPU_MAX_DEVICE_BLOCK_MIB", "128"))
         if (
             block_size > int(max_mib * (1 << 20))
             and jax.default_backend() == "tpu"

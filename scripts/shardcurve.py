@@ -27,11 +27,11 @@ from bench import make_corpus
 from bzip3_tpu.pipeline import DevicePipeline
 from bzip3_tpu.parallel.sharding import make_mesh, sharded_pipeline
 
-K = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-BS = (int(sys.argv[2]) if len(sys.argv) > 2 else 256) << 10
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+BS = (int(sys.argv[2]) if len(sys.argv) > 2 else 128) << 10
 
 
-def rt(pipe, blocks, reps=3):
+def rt(pipe, blocks, reps=2):
     enc = pipe.encode_blocks(blocks)  # warmup/compile
     pairs = [(e, len(b)) for e, b in zip(enc, blocks)]
     assert pipe.decode_blocks(pairs) == blocks

@@ -178,3 +178,27 @@ def test_device_engine_e2e_on_chip():
     assert enc[0] == encode_block(blocks[0])
     dec = dev.decode_blocks([(e, len(b)) for e, b in zip(enc, blocks)], bs)
     assert dec == blocks
+
+
+@pytest.mark.skipif(
+    os.environ.get("BZ3_TPU_ON_CHIP_HEAVY", "0") != "1",
+    reason="multi-minute heavy lane: BZ3_TPU_ON_CHIP_HEAVY=1",
+)
+def test_device_128mib_block_on_chip():
+    """A FULL 128 MiB block through the device engine on the real chip
+    — the HBM-tiled regime (stride-4 wide BWT rounds + 8-launch
+    resumable CM).  Proves the device engine covers 2x the old 64 MiB
+    ceiling without the native fallback (reference block range
+    src/libbz3.c:536)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import make_corpus
+    from bzip3_tpu.engines import get_engine
+
+    bs = 128 << 20
+    block = make_corpus(bs + (1 << 20))[:bs]
+    dev = get_engine("device")
+    enc = dev.encode_blocks([block], bs)
+    dec = dev.decode_blocks([(enc[0], bs)], bs)
+    assert dec[0] == block
