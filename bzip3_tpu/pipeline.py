@@ -97,10 +97,16 @@ def _bwt_row_groups(k: int, width: int) -> int:
 
     Large-width batches are split so each sort round's working set
     stays within an HBM budget (the prefix-doubling sort materializes
-    ~5 int32 arrays of the batch shape, ops/device/bwt.py); small
+    ~5-7 int32 arrays of the batch shape, ops/device/bwt.py); small
     widths run as one launch.  Static per shape — the python loop in
-    the traced core unrolls into sequential sorts in one program."""
-    budget = int(float(os.environ.get("BZ3_TPU_BWT_GROUP_MIB", "16")) * (1 << 20))
+    the traced core unrolls into sequential sorts in one program.
+
+    Default 64 MiB of row bytes per group (~4 GiB sort peak): a
+    [1, 16Mi] sort underutilizes the chip, so batching 16 MiB rows
+    4-up recovers row-parallel sort throughput while staying well
+    inside HBM alongside the CM staging (separate programs under
+    split dispatch)."""
+    budget = int(float(os.environ.get("BZ3_TPU_BWT_GROUP_MIB", "64")) * (1 << 20))
     rows_cap = int(os.environ.get("BZ3_TPU_BWT_GROUP_ROWS", "16"))
     return max(1, min(k, rows_cap, budget // max(1, width)))
 
