@@ -11,7 +11,7 @@ is the HEADLINE engine's round-trip MiB/s over that number.
 
 The HEADLINE metric is the TPU device engine at the reference's
 headline `-b 16` over a lane-filled corpus (BENCH_DEVICE_B16_MIB,
-default 256 MiB = 16 blocks); if the device probe is unavailable or
+default 512 MiB = 32 blocks); if the device probe is unavailable or
 cut by the budget the headline falls back to the native engine (the
 metric name says which).  The line always carries both engines:
 
@@ -212,7 +212,7 @@ def main():
     engine_name = os.environ.get("BENCH_ENGINE", "device")
     dev_mib = float(os.environ.get("BENCH_DEVICE_MIB", "32"))
     dev_block_mib = float(os.environ.get("BENCH_DEVICE_BLOCK_MIB", "1"))
-    dev_b16_mib = float(os.environ.get("BENCH_DEVICE_B16_MIB", "256"))
+    dev_b16_mib = float(os.environ.get("BENCH_DEVICE_B16_MIB", "512"))
     with_device = os.environ.get("BENCH_DEVICE", "1") != "0"
     with_device_b16 = os.environ.get("BENCH_DEVICE_B16", "1") == "1"
     with_device_small = os.environ.get("BENCH_DEVICE_SMALL", "1") == "1"
@@ -249,7 +249,7 @@ def main():
 
     signal.signal(signal.SIGTERM, _bail)
     signal.signal(signal.SIGALRM, _bail)
-    signal.alarm(int(os.environ.get("BENCH_BUDGET_S", "3300")))
+    signal.alarm(int(os.environ.get("BENCH_BUDGET_S", "2500")))
 
     # ---- native engine + live reference pool (fast, always) ---------
     if os.environ.get("BENCH_NATIVE", "1") == "1":
@@ -277,7 +277,7 @@ def main():
         del corpus
 
     # ---- device engine: the `-b 16` HEADLINE first -------------------
-    if with_device or engine_name == "device":
+    if with_device:
         try:
             dev = get_engine("device")
             if with_device_b16:
