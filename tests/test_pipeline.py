@@ -197,3 +197,33 @@ def test_split_dispatch_path(blocks, monkeypatch):
         assert e == encode_block(b)
     decoded = pipe.decode_blocks([(e, len(b)) for e, b in zip(encoded, sub)])
     assert decoded == sub
+
+
+def test_sharded_dispatch_overhead_regression(blocks):
+    """shard_map at n=1 must not cost materially more than the plain
+    pipeline (the verdict-8 regression net; the measured overhead on
+    the CPU mesh is 1.02x encode / 0.94x decode, scripts/shardcurve.py
+    — the bound here is generous because CI boxes are noisy)."""
+    import time
+
+    pipe_u = DevicePipeline(BS)
+    pipe_s = sharded_pipeline(BS, make_mesh(1))
+
+    def rt(pipe):
+        enc = pipe.encode_blocks(blocks)  # warmup/compile
+        pairs = [(e, len(b)) for e, b in zip(enc, blocks)]
+        assert pipe.decode_blocks(pairs) == blocks
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pipe.encode_blocks(blocks)
+            pipe.decode_blocks(pairs)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_u = rt(pipe_u)
+    t_s = rt(pipe_s)
+    assert t_s < t_u * 2.0, (
+        f"sharded n=1 round trip {t_s:.3f}s vs unsharded {t_u:.3f}s — "
+        "dispatch overhead regressed far past the measured 1.02x"
+    )
