@@ -220,16 +220,15 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
     # repeated-phrase tail, so the remaining log_4 rounds cost ~C/N of
     # a full sort each — which also neutralizes slowest-row gating
     # (extra rounds forced by one hard row are nearly free).  Env
-    # BZ3_TPU_BWT_COMPACT is the N/C divisor (0 disables).  Default 3:
-    # bench text measures unresolved(k=16) ~ N/4 + 1% — a cap of N/3
-    # compacts the second round (measured 6.38 vs 5.56 MB/s at
-    # [16 x 1Mi]), and the cheap cond-gated setup makes a larger cap
-    # harmless on corpora that resolve in the full rounds.  Re-swept
-    # with stride_full 6 post slice-fix: div 6 beats 3/4/8 at both
-    # [1, 16Mi] and [16, 1Mi] (one stride-6 full round leaves < N/6
-    # unresolved on text, and the smaller compact arrays halve the
-    # compact-round sort/gather cost).
-    div = int(os.environ.get("BZ3_TPU_BWT_COMPACT", "6"))
+    # BZ3_TPU_BWT_COMPACT is the N/C divisor (0 disables).  Round-4
+    # re-sweep at [1, 16Mi] with per-variant cache clearing (the older
+    # sweeps unknowingly reused one compiled config, PERF_NOTES R4.5):
+    # div 12 = 10.15 MB/s vs div 6 = 9.48, div 3 = 8.22, compact OFF =
+    # 7.21 — an extra full round before compacting beats compacting a
+    # 2x larger set, because the full round's rank reads are dynamic
+    # SLICES while compact-round reads are genuine gathers.  Compact
+    # stride stays 4 (2 -> 9.19, 8 -> 8.69).
+    div = int(os.environ.get("BZ3_TPU_BWT_COMPACT", "12"))
     cap = min(n, max(128, n // div)) if div > 0 else 0
 
     def cond_full(carry):
