@@ -1080,12 +1080,13 @@ def _decode_resumable(pay, pl_, ol, lanes, n_steps, in_chunks, interpret, spec,
 
 def _pick_lanes(k_dim: int, lanes: int | None, cap_default: int = 32) -> int:
     """Default lane count: smallest power of two >= k_dim, clamped to
-    [8, BZ3_TPU_CM_LANES (default 32)].  Measured on chip (packed
-    kernel, 64 KiB/lane): decode 3.26/4.86/5.11 MB/s and encode
-    4.86/5.93/6.94 at L=8/16/32 — both directions peak at 32 of the
-    measured points (VMEM fits 32-48, PERF_NOTES §5), and small batches
-    shouldn't pay the wider kernel's per-step cost (lanes only grow to
-    cover the actual batch)."""
+    [8, BZ3_TPU_CM_LANES (default 32)].  Round-4 sweep on chip
+    (128 KiB/lane): encode 10.5/12.1/12.2/12.2 and decode
+    7.0/8.6/8.4/8.6 MB/s at L=16/32/48/64 — BOTH directions saturate
+    at 32 (every [L,128] vreg op is L/8 sublane tiles, so per-step
+    wall grows linearly past L=8 and wider lanes stop paying).  Small
+    batches shouldn't pay the wider kernel's per-step cost either
+    (lanes only grow to cover the actual batch)."""
     if lanes is not None:
         return lanes
     cap = max(8, int(os.environ.get("BZ3_TPU_CM_LANES", str(cap_default))))
