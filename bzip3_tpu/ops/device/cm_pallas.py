@@ -1303,9 +1303,11 @@ def _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=True,
                     hbm_in.at[:, pl.ds(128, 128)], ib.at[1], in_sems.at[1]
                 ).start()
         else:
+            # windowed input: this launch's first chunk is window
+            # offset 0; the staging slot keeps ABSOLUTE chunk parity.
             k0 = _srl(start, 7)
             pltpu.make_async_copy(
-                hbm_in.at[:, pl.ds(pl.multiple_of(start, 128), 128)],
+                hbm_in.at[:, pl.ds(0, 128)],
                 ib.at[k0 & 1],
                 in_sems.at[k0 & 1],
             ).start()
@@ -1333,17 +1335,31 @@ def _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=True,
 
             # chunk k's DMA (primed at k-1 or at kernel start) must land
             # before its first byte is read; then prefetch chunk k+1.
+            # In the RESUMABLE regime hbm_in is a PER-LAUNCH window of
+            # [start, stop) (the wrapper slices it from a u8 source so
+            # the i32 staging is one launch-chunk, not the whole
+            # block): byte offsets are window-relative; slot parity
+            # stays on the ABSOLUTE chunk index (start is a multiple
+            # of 256 = 2 chunks, so parities agree across launches).
             @pl.when((i & 127) == 0)
             def _():
                 k = i >> 7
+                ioff = (i - start) if resume else i
                 pltpu.make_async_copy(
-                    hbm_in.at[:, pl.ds(k * 128, 128)], ib.at[k & 1], in_sems.at[k & 1]
+                    hbm_in.at[:, pl.ds(pl.multiple_of(ioff, 128), 128)],
+                    ib.at[k & 1],
+                    in_sems.at[k & 1],
                 ).wait()
+                nxt_ok = (
+                    (ioff + 128 < stop - start)
+                    if resume
+                    else ((k + 1) * 128 < n_steps)
+                )
 
-                @pl.when((i >= 128) & ((k + 1) * 128 < n_steps))
+                @pl.when((i >= 128) & nxt_ok)
                 def _():
                     pltpu.make_async_copy(
-                        hbm_in.at[:, pl.ds((k + 1) * 128, 128)],
+                        hbm_in.at[:, pl.ds(pl.multiple_of(ioff + 128, 128), 128)],
                         ib.at[(k + 1) & 1],
                         in_sems.at[(k + 1) & 1],
                     ).start()
@@ -1587,20 +1603,11 @@ def _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=True,
         low, high, optr, moved, c1v, c2v, runv, wv = carry
 
         if resume and not last:
-            # drain the dangling input prefetch: the body's last chunk
-            # wait (at i = stop-128) also STARTED the DMA for chunk
-            # stop>>7, which the single-launch tail would have waited
-            # on at the next step — an in-flight DMA at kernel exit
-            # kills the worker.
-            kl = _srl(stop, 7)
-
-            @pl.when(kl * 128 < jnp.int32(n_steps))
-            def _():
-                pltpu.make_async_copy(
-                    hbm_in.at[:, pl.ds(pl.multiple_of(kl * 128, 128), 128)],
-                    ib.at[kl & 1],
-                    in_sems.at[kl & 1],
-                ).wait()
+            # No dangling input prefetch to drain: the windowed-input
+            # guard (ioff + 128 < stop - start) never issues a DMA past
+            # this launch's window, so nothing is in flight at exit
+            # (an in-flight DMA at kernel exit kills the worker —
+            # PERF_NOTES R3.10; the guard replaces the old drain).
 
             # spill everything the next launch needs and stop here
             regs_v[0] = low
@@ -1773,10 +1780,16 @@ def _encode_call_resume(data, ilens, startstop, out_prev, c1s, smalls,
     return outs
 
 
-def _encode_resumable(arr, il, lanes, n_steps, out_chunks, interpret, spec,
+def _encode_resumable(src_u8, il, lanes, n_steps, out_chunks, interpret, spec,
                       ablate=''):
     """Multi-launch encode for blocks whose single launch would trip
-    the kernel-duration watchdog (PERF_NOTES R3.8)."""
+    the kernel-duration watchdog (PERF_NOTES R3.8).
+
+    ``src_u8``: [lanes, n_pad] uint8 (n_pad a multiple of the launch
+    chunk).  Each launch stages only ITS step window as i32 — at
+    128 MiB blocks the old whole-block i32 staging was 4 GiB of HBM
+    (x4 the bytes, x8 the lanes for a single block); the window is
+    one launch-chunk (~512 MiB)."""
     out_buf = jnp.zeros((2, lanes, out_chunks // 2, 8, 128), I32)
     c1s = jnp.zeros((lanes, 256, 128), I32)
     smalls = jnp.zeros((10, lanes, 128), I32)
@@ -1789,9 +1802,10 @@ def _encode_resumable(arr, il, lanes, n_steps, out_chunks, interpret, spec,
     olens = None
     for j, s in enumerate(starts):
         e = min(s + cs, n_steps)
+        win = jax.lax.dynamic_slice(src_u8, (0, s), (lanes, cs)).astype(I32)
         ss = jnp.asarray(np.array([[s, e]], np.int32))
         (out_buf, olens, c1s, smalls, c2s, regs, wv, wstb) = _encode_call_resume(
-            arr, il, ss, out_buf, c1s, smalls, c2s, regs, wv, wstb,
+            win, il, ss, out_buf, c1s, smalls, c2s, regs, wv, wstb,
             lanes=lanes, n_steps=n_steps, out_chunks=out_chunks,
             interpret=interpret, spec=spec,
             first=(j == 0), last=(j == len(starts) - 1), ablate=ablate,
@@ -1828,20 +1842,27 @@ def cm_encode_pallas_batch(
     lens_out = []
     for g in range(0, k_dim, lanes):
         rows = min(lanes, k_dim - g)
-        arr = jnp.zeros((lanes, n_steps), I32)
-        arr = arr.at[:rows, :n].set(data[g : g + rows].astype(I32))
         il = jnp.zeros((lanes,), I32).at[:rows].set(lengths[g : g + rows].astype(I32))
         if n_steps > _chunk_steps(lanes) or os.environ.get("BZ3_TPU_CM_RESUME", "0") == "1":
+            cs = _chunk_steps(lanes)
+            n_pad = -(-n_steps // cs) * cs
+            src = jnp.zeros((lanes, n_pad), jnp.uint8)
+            src = src.at[:rows, :n].set(data[g : g + rows].astype(jnp.uint8))
             out, olens = _encode_resumable(
-                arr, il, lanes, n_steps, out_chunks, interpret, spec,
+                src, il, lanes, n_steps, out_chunks, interpret, spec,
                 ablate=_ablate(),
             )
         else:
+            arr = jnp.zeros((lanes, n_steps), I32)
+            arr = arr.at[:rows, :n].set(data[g : g + rows].astype(I32))
             out, olens = _encode_call(arr, il, lanes, n_steps, out_chunks,
                                       interpret, spec, ablate=_ablate())
-        # unsplit the slot-major 5-D output back to [L, w_pad]
-        out = out.transpose(1, 2, 0, 3, 4).reshape(lanes, w_pad)
-        outs.append(out[:rows, :w].astype(jnp.uint8))
+        # unsplit the slot-major 5-D output back to [rows, w_pad] —
+        # slicing the real rows BEFORE the transpose/reshape keeps the
+        # materialized copy at rows/lanes of the padded size (a single
+        # 128 MiB block pads to 8 lanes: 4.8 GiB -> 0.6 GiB here)
+        out = out[:, :rows].transpose(1, 2, 0, 3, 4).reshape(rows, w_pad)
+        outs.append(out[:, :w].astype(jnp.uint8))
         lens_out.append(olens[:rows, 0])
     if len(outs) > 1:
         return jnp.concatenate(outs, axis=0), jnp.concatenate(lens_out, axis=0)
