@@ -484,10 +484,13 @@ def bwt_inverse_batch(
         return got[:, :, 0], v01, v23
 
     _, v01, v23 = jax.lax.fori_loop(0, steps, walk, (entries, buf0, buf0))
-    # flat chain offset t = s*seg + step*4 + b; layout [K, step, s, b]
-    # flattens to index ((step*n_segs) + s)*4 + b — pure arithmetic.
-    flat0 = jnp.stack([v01 & 0x1FF, v01 >> 9, v23 & 0x1FF, v23 >> 9], axis=-1
-                      ).reshape(k_dim, steps * n_segs * 4)
+    # flat chain offset t = s*seg + step*4 + b.  The four byte planes
+    # stack on axis=1 ([K, 4, steps, S]) so the LANE-tiled minor dims
+    # stay (steps, S): a trailing size-4 axis would tile 4 -> 128 lanes
+    # and 32x the buffer (17 GiB at 128 Mi rows — measured OOM).
+    flat0 = jnp.stack(
+        [v01 & 0x1FF, v01 >> 9, v23 & 0x1FF, v23 >> 9], axis=1
+    ).reshape(k_dim, 4 * steps * n_segs)
 
     # out[j] = chain value at t = len - 1 - j, minus 1 (the walk emits
     # right-to-left; the first visited value is the sentinel's
@@ -495,7 +498,7 @@ def bwt_inverse_batch(
     t_idx = jnp.clip(lens - 1 - jj[:, :n], 0, n_segs * seg - 1)
     s_idx = t_idx // seg
     within = t_idx - s_idx * seg
-    gather_idx = ((within >> 2) * n_segs + s_idx) * 4 + (within & 3)
+    gather_idx = ((within & 3) * steps + (within >> 2)) * n_segs + s_idx
     out = jnp.take_along_axis(flat0, gather_idx, axis=1) - 1
     out = jnp.where(jj[:, :n] < lens, out, 0).astype(jnp.uint8)
 
