@@ -620,9 +620,21 @@ class DevicePipeline:
                     cw = self._bucket_width(
                         max((len(m[3]) for m in metas), default=64)
                     )
-                    cur_arr, cur_lens = _pad_batch(
-                        [m[3] for m in metas], cw, rows
+                    # In the split-dispatch regime the upload happens
+                    # PER BWT GROUP inside the dispatch loop (the first
+                    # group's sort starts after 1/groups of the wave
+                    # has crossed the ~21 MB/s tunnel instead of all of
+                    # it — worth ~18 s on a 512 MiB wave).
+                    group_h2d = (
+                        host_crc
+                        and self.encode_core_hostcrc_fn is None
+                        and _split_dispatch(cw)
+                        and _bwt_row_groups(rows, cw) < rows
                     )
+                    if not group_h2d:
+                        cur_arr, cur_lens = _pad_batch(
+                            [m[3] for m in metas], cw, rows
+                        )
                     if not host_crc:
                         orig_arr, orig_lens = _pad_batch(
                             [chunk[p] for p in perm] if perm else chunk,
@@ -645,7 +657,24 @@ class DevicePipeline:
                         )
 
                         g = _bwt_row_groups(rows, cw)
-                        if g < rows:
+                        if group_h2d:
+                            # pad + upload + dispatch one group at a
+                            # time: group s+1's transfer rides the
+                            # tunnel while group s sorts
+                            parts = []
+                            for s in range(0, rows, g):
+                                ga, gl = _pad_batch(
+                                    [m[3] for m in metas[s : s + g]], cw, g
+                                )
+                                parts.append(bwt_fwd_core(ga, gl))
+                            # groups pad to g rows (shape-stable): trim
+                            # any overhang past the wave's rows
+                            u = jnp.concatenate([p[0] for p in parts], axis=0)[:rows]
+                            idx = jnp.concatenate([p[1] for p in parts], axis=0)[:rows]
+                            lens_np = np.zeros(rows, np.int32)
+                            lens_np[:count] = [len(m[3]) for m in metas]
+                            cur_lens = jnp.asarray(lens_np)
+                        elif g < rows:
                             parts = [
                                 bwt_fwd_core(
                                     cur_arr[s : s + g], cur_lens[s : s + g]

@@ -198,6 +198,14 @@ def test_split_dispatch_path(blocks, monkeypatch):
     decoded = pipe.decode_blocks([(e, len(b)) for e, b in zip(encoded, sub)])
     assert decoded == sub
 
+    # group size that does NOT divide the wave rows: the grouped-H2D
+    # encode pads the last group and trims the overhang
+    monkeypatch.setenv("BZ3_TPU_BWT_GROUP_ROWS", "3")
+    pipe2 = DevicePipeline(BS)
+    encoded2 = pipe2.encode_blocks(sub)
+    for e, b in zip(encoded2, sub):
+        assert e == encode_block(b)
+
 
 def test_sharded_dispatch_overhead_regression(blocks):
     """shard_map at n=1 must not cost materially more than the plain
