@@ -127,7 +127,11 @@ def bwt_forward_batch(data: jax.Array, lengths: jax.Array):
         d2 = jnp.where(
             key2 == 0, 0, jnp.take_along_axis(dense, key2, axis=1) + 1
         )  # [K, N] <= n_distinct
-        fits = (n_distinct < (1 << 16) - 1)[:, None]
+        # The packed key (d2 << 16) | other must stay NON-NEGATIVE in
+        # i32: ids reach n_distinct, so the guard is 15 bits, not 16 —
+        # at 2^15 ids the high id's sign bit would flip and sort below
+        # the pad sentinels, silently mis-ordering dense binary rows.
+        fits = (n_distinct < (1 << 15))[:, None]
 
         def d2_at(off):
             # dense id of the 2-gram at pos+off; beyond the array the

@@ -77,6 +77,31 @@ def test_bwt_inverse_matches_oracle_direction(cases):
     assert ref_unbwt(ru, ri) == c
 
 
+@pytest.mark.parametrize("seed_mode", ["2", "3", "4", "8"])
+def test_bwt_seed_modes_match_oracle(cases, seed_mode, monkeypatch):
+    """Every seeding variant yields the oracle suffix order (ADVICE r4:
+    BZ3_TPU_BWT_SEED=8 was never suite-exercised, and its dense-id
+    packing overflowed i32 sign at >= 2^15 distinct 2-grams).  The
+    dense row (64 KiB of random bytes, ~41k distinct 2-grams) trips
+    the old guard and forces the per-row fallback path."""
+    import jax
+
+    dense = bytes(RNG.integers(0, 256, 1 << 16, dtype=np.uint8))
+    local = list(cases) + [dense]
+    arr, lens = _batch(local, 1 << 16)
+    monkeypatch.setenv("BZ3_TPU_BWT_SEED", seed_mode)
+    jax.clear_caches()  # the seed knob is read at trace time (R4.5)
+    try:
+        u, idx = bwt_forward_batch(arr, lens)
+        u, idx = np.asarray(u), np.asarray(idx)
+    finally:
+        jax.clear_caches()
+    for i, c in enumerate(local):
+        ru, ri = ref_bwt(c)
+        assert u[i, : len(c)].tobytes() == ru, (seed_mode, i)
+        assert int(idx[i]) == ri, (seed_mode, i)
+
+
 def test_cm_encode_batch_matches_oracle(cases):
     arr, lens = _batch(cases, 512)
     out, optr = cm_encode_batch(arr, lens)

@@ -211,8 +211,15 @@ def test_sharded_dispatch_overhead_regression(blocks):
     """shard_map at n=1 must not cost materially more than the plain
     pipeline (the verdict-8 regression net; the measured overhead on
     the CPU mesh is 1.02x encode / 0.94x decode, scripts/shardcurve.py
-    — the bound here is generous because CI boxes are noisy)."""
+    — the bound here is generous because CI boxes are noisy).
+
+    Wall-clock ratio asserts flake under CI load spikes (ADVICE r4),
+    so this runs only in the perf lane: BZ3_PERF=1."""
+    import os
     import time
+
+    if os.environ.get("BZ3_PERF", "0") != "1":
+        pytest.skip("wall-clock perf assert; set BZ3_PERF=1 for the perf lane")
 
     pipe_u = DevicePipeline(BS)
     pipe_s = sharded_pipeline(BS, make_mesh(1))
