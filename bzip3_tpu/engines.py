@@ -115,8 +115,20 @@ class HybridEngine:
         self.device_share = min(1.0, max(0.0, device_share))
 
     def _run(self, items, block_size, dev_fn, nat_fn):
+        import os
+
+        # Break-even gate (measured, PERF_NOTES §3): the device
+        # pipeline's ~1 s fixed overhead exceeds its ~8% equilibrium
+        # contribution until the batch reaches GB scale on this
+        # box — below the threshold the hybrid IS the native pool.
+        min_b = int(
+            float(os.environ.get("BZ3_TPU_HYBRID_MIN_MIB", "1024")) * (1 << 20)
+        )
+        total = sum(
+            len(it[0]) if isinstance(it, tuple) else len(it) for it in items
+        )
         d = int(round(len(items) * self.device_share))
-        if d == 0 or len(items) < 2:
+        if d == 0 or len(items) < 2 or total < min_b:
             return nat_fn(items, block_size)
         from concurrent.futures import ThreadPoolExecutor
 

@@ -448,12 +448,28 @@ def _c2_window_writeback(tbl_vals, e0, e1, cb):
 
 
 def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True,
-                        resume=False, first=True, last=True, ablate=''):
+                        resume=False, first=True, last=True, ablate='',
+                        out_rel=False):
+    """out_rel=True (resumable only): hbm_out is a PER-LAUNCH buffer of
+    this launch's [start, stop) steps (offsets relative to start) and is
+    NOT carried across launches.  The oversize-block hybrid streams
+    each chunk to the host instead of materializing the full [lanes,
+    n_steps] i32 decode buffer (16 GiB at the 511 MiB format max)."""
     _ab = ablate
     n_flushes = n_steps // 128
 
     def kernel(*refs):
-        if resume:
+        if resume and out_rel:
+            # chunked output: no prev-output alias; state-only aliases
+            (plen_ref, olen_ref, start_ref, hbm_in,
+             _rgs, _c1i, _smi, _c2i,
+             hbm_out, regs_st, c1_st, small_st, c2_st,
+             c1, rowa, rowb, win, ob, scal, c2w,
+             c0_0, c0_1, c0_2, c0_3, c0_4, c0_5, c0_6, c0_7,
+             c2_0, c2_1, c2_2, c2_3, c2_4, c2_5, c2_6, c2_7,
+             regs_v,
+             in_sems, out_sems, st_sem) = refs
+        elif resume:
             # inputs aliased to outputs (same buffers): prev output,
             # regs, c1/small/c2 table spills
             (plen_ref, olen_ref, start_ref, hbm_in,
@@ -826,15 +842,21 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True,
             @pl.when((i & 127) == 127)
             def _():
                 slot = (i >> 7) & 1
-                # (i>>7)*128 is provably 128-aligned (i-127 is not).
-                off = pl.multiple_of((i >> 7) * 128, 128)
+                # (i>>7)*128 is provably 128-aligned (i-127 is not); in
+                # chunked-output mode offsets are launch-relative
+                # (start is a multiple of the 256-step chunk quantum,
+                # so alignment carries).
+                ob_base = start if out_rel else jnp.int32(0)
+                off = pl.multiple_of((i >> 7) * 128 - ob_base, 128)
 
                 # only wait for DMAs issued THIS launch (semaphores do
                 # not carry across resumable launches; the drain below
                 # settles everything at each launch end)
                 @pl.when(i - start >= 256)
                 def _():
-                    off_prev = pl.multiple_of(((i >> 7) - 2) * 128, 128)
+                    off_prev = pl.multiple_of(
+                        ((i >> 7) - 2) * 128 - ob_base, 128
+                    )
                     pltpu.make_async_copy(
                         ob.at[slot], hbm_out.at[:, pl.ds(off_prev, 128)], out_sems.at[slot]
                     ).wait()
@@ -907,10 +929,17 @@ def _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=True,
             # drain THIS launch's last two output flushes (chunks are
             # multiples of 256 steps, so both exist), then spill.
             fl = _srl(stop, 7)  # flush count through `stop`
+            ob_base = start if out_rel else jnp.int32(0)
             for back in (1, 2):
                 pltpu.make_async_copy(
                     ob.at[(fl - back) & 1],
-                    hbm_out.at[:, pl.ds(pl.multiple_of((fl - back) * 128, 128), 128)],
+                    hbm_out.at[
+                        :,
+                        pl.ds(
+                            pl.multiple_of((fl - back) * 128 - ob_base, 128),
+                            128,
+                        ),
+                    ],
                     out_sems.at[(fl - back) & 1],
                 ).wait()
             low, high, code, ip, _b, _p0, _p1, _p2, c1v, c2v, runv, _ob = carry
@@ -1055,6 +1084,124 @@ def _decode_call_resume(payload, plens, olens, startstop, out_prev,
         out_prev, regs, c1s, smalls, c2s,
     )
     return outs
+
+
+@partial(jax.jit, static_argnames=(
+    "lanes", "chunk_steps", "n_steps", "in_chunks", "interpret", "spec",
+    "first", "last", "ablate"))
+def _decode_call_resume_chunk(payload, plens, olens, startstop,
+                              regs, c1s, smalls, c2s,
+                              lanes, chunk_steps, n_steps, in_chunks,
+                              interpret, spec, first, last, ablate=''):
+    """One launch of the CHUNKED-OUTPUT resumable decode: returns this
+    launch's [lanes, chunk_steps] output plus the carried state (no
+    whole-block output buffer — see _make_decode_kernel out_rel)."""
+    kern = _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=spec,
+                               resume=True, first=first, last=last,
+                               ablate=ablate, out_rel=True)
+    outs = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((lanes, chunk_steps), I32),
+            jax.ShapeDtypeStruct((8, lanes, 128), I32),
+            jax.ShapeDtypeStruct((lanes, 256, 128), I32),
+            jax.ShapeDtypeStruct((10, lanes, 128), I32),
+            jax.ShapeDtypeStruct((lanes, _C2_SUM), I32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # plen
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # olen (lengths)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # startstop (1,2)
+            pl.BlockSpec(memory_space=pl.ANY),       # hbm_in
+            pl.BlockSpec(memory_space=pl.ANY),       # regs (alias)
+            pl.BlockSpec(memory_space=pl.ANY),       # c1 (alias)
+            pl.BlockSpec(memory_space=pl.ANY),       # small (alias)
+            pl.BlockSpec(memory_space=pl.ANY),       # c2 (alias)
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        input_output_aliases={4: 1, 5: 2, 6: 3, 7: 4},
+        scratch_shapes=[
+            pltpu.VMEM((lanes, 256, 128), I32),
+            pltpu.VMEM((lanes, 128), I32),
+            pltpu.VMEM((lanes, 128), I32),
+            pltpu.VMEM((2, lanes, 8, 128), I32),
+            pltpu.VMEM((2, lanes, 128), I32),
+            pltpu.VMEM((4, lanes, 128), I32),
+            pltpu.VMEM((2, lanes, 128), I32),
+            *_c0_shapes(lanes),
+            *_c2_shapes(lanes),
+            pltpu.VMEM((8, lanes, 128), I32),
+            pltpu.SemaphoreType.DMA((lanes,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(
+        jnp.broadcast_to(plens[:, None].astype(I32), (lanes, 128)),
+        jnp.broadcast_to(olens[:, None].astype(I32), (lanes, 128)),
+        startstop,
+        payload,
+        regs, c1s, smalls, c2s,
+    )
+    return outs
+
+
+def cm_decode_pallas_stream(
+    data: jax.Array,
+    in_lens: jax.Array,
+    out_lens: jax.Array,
+    out_width: int,
+    lanes: int | None = None,
+    interpret: bool | None = None,
+    spec: bool | None = None,
+):
+    """Chunked-output decode for OVERSIZE blocks: yields
+    (step_start, [rows, chunk] uint8 device array) pieces in order
+    instead of one [K, out_width] buffer, so HBM never holds the whole
+    i32 decode (16 GiB at the 511 MiB format max).  The caller pulls
+    each piece (async D2H) and assembles on the host — the oversize
+    hybrid then runs the inverse BWT there (pipeline.py)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    lanes = _pick_lanes(data.shape[0], lanes)
+    if spec is None:
+        spec = os.environ.get("BZ3_TPU_SPEC_MUL", "1") == "1"
+    k_dim, m = data.shape
+    if k_dim > lanes:
+        raise ValueError("stream decode serves one lane group")
+    # 256-step quantum: the resumable drain waits on the launch's last
+    # TWO flushes, so every launch (incl. the final partial one) must
+    # cover >= 256 steps.
+    n_steps = max(256, -(-out_width // 256) * 256)
+    m_in = max(2048, -(-(m + 64) // 2048) * 2048) + 2048
+    in_chunks = m_in // 1024
+    pay = jnp.zeros((lanes, m_in), I32)
+    pay = pay.at[:k_dim, :m].set(data.astype(I32))
+    pay = pay.reshape(lanes, in_chunks // 2, 2, 8, 128).transpose(2, 0, 1, 3, 4)
+    pl_ = jnp.zeros((lanes,), I32).at[:k_dim].set(in_lens.astype(I32))
+    ol = jnp.zeros((lanes,), I32).at[:k_dim].set(out_lens.astype(I32))
+    regs = jnp.zeros((8, lanes, 128), I32)
+    c1s = jnp.zeros((lanes, 256, 128), I32)
+    smalls = jnp.zeros((10, lanes, 128), I32)
+    c2s = jnp.zeros((lanes, _C2_SUM), I32)
+    cs = _chunk_steps(lanes)
+    starts = list(range(0, n_steps, cs))
+    for j, s in enumerate(starts):
+        e = min(s + cs, n_steps)
+        ss = jnp.asarray(np.array([[s, e]], np.int32))
+        out_chunk, regs, c1s, smalls, c2s = _decode_call_resume_chunk(
+            pay, pl_, ol, ss, regs, c1s, smalls, c2s,
+            lanes=lanes, chunk_steps=cs, n_steps=n_steps,
+            in_chunks=in_chunks, interpret=interpret, spec=spec,
+            first=(j == 0), last=(j == len(starts) - 1), ablate=_ablate(),
+        )
+        yield s, out_chunk[:k_dim, : e - s].astype(jnp.uint8)
 
 
 def _decode_resumable(pay, pl_, ol, lanes, n_steps, in_chunks, interpret, spec,
@@ -1578,6 +1725,15 @@ def _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=True,
                 for l in range(lanes):
                     w = scal[0, l, 0]
                     mv = w & 0x3FFFFFFF
+                    # Output-capacity clamp: when the caller sizes the
+                    # output below the worst case (the oversize-block
+                    # hybrid caps it to keep the [8-lane-padded] i32
+                    # staging inside HBM), a row whose payload overruns
+                    # must not DMA past hbm_out — its optr keeps
+                    # counting, the wrapper's plens > width check
+                    # flags the row, and the pipeline re-encodes it
+                    # through another engine.
+                    mv = jnp.minimum(mv, jnp.int32(out_chunks * 1024 - 1024))
                     chunk = _srl(mv, 10)
                     sub = _srl(mv, 7) & 7
                     sel = _srl(mv, 7) & 1  # which carry half is full
@@ -1650,7 +1806,12 @@ def _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=True,
             mv0 = scal[0, l, 0]
             op = scal[1, l, 0]
             for it in range(3):  # ceil(260/128) + 1 safety
-                mv = mv0 + it * 128
+                # same capacity clamp as the maintenance loop (capped
+                # output buffers; overrun rows are flagged, not DMA'd
+                # out of bounds)
+                mv = jnp.minimum(
+                    mv0 + it * 128, jnp.int32(out_chunks * 1024 - 1024)
+                )
 
                 @pl.when(mv < op)
                 def _():

@@ -278,3 +278,69 @@ def rle_decode(data: bytes, out_len: int):
     out = ctypes.create_string_buffer(max(64, out_len))
     r = lib.bz3n_rle_decode(data, len(data), out, out_len)
     return None if r < 0 else out.raw[:r]
+
+
+# ------------------------------------------------- host BWT (oversize)
+
+def _bwt_lib():
+    """BWT stage entry points (the host half of the oversize-block
+    device hybrid, pipeline.py: blocks past the device HBM cap run
+    SA-IS / the quad-merge inverse on the host with CM/LZP/RLE/CRC on
+    device — the BWT is a clean stage boundary, reference analogue
+    src/libbz3.c:623,758)."""
+    import numpy as np  # noqa: F401 (kept local: numpy-free base API)
+
+    lib = _load()
+    if not hasattr(lib, "_bwt_ready"):
+        lib.bz3n_bwt_forward.restype = ctypes.c_int32
+        lib.bz3n_bwt_forward.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_void_p,
+        ]
+        lib.bz3n_bwt_inverse_ex.restype = ctypes.c_int32
+        lib.bz3n_bwt_inverse_ex.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
+        lib._bwt_ready = True
+    return lib
+
+
+def bwt_forward(data: bytes):
+    """Native SA-IS BWT: returns (U bytes, primary index) with the
+    libsais_bwt output contract (see ops/ref/bwt.py)."""
+    import numpy as np
+
+    n = len(data)
+    if n <= 1:
+        return data, n
+    lib = _bwt_lib()
+    out = np.empty(n, np.uint8)
+    # forward scratch contract: >= 8n bytes (SA n+1 words + u8 temp)
+    scratch = np.empty(2 * (n + 16) + 16, np.int32)
+    idx = lib.bz3n_bwt_forward(
+        data, out.ctypes.data_as(ctypes.c_void_p), n,
+        scratch.ctypes.data_as(ctypes.c_void_p),
+    )
+    if idx < 0:
+        raise RuntimeError("native bwt_forward failed")
+    return out.tobytes(), int(idx)
+
+
+def bwt_inverse(u: bytes, index: int):
+    """Native inverse BWT (quad-merge LF walk); None on a bad index."""
+    import numpy as np
+
+    n = len(u)
+    if n <= 1:
+        return u if index == n else None
+    if index <= 0 or index > n:
+        return None
+    lib = _bwt_lib()
+    out = np.empty(n, np.uint8)
+    words = 2 * (n + 16)
+    scratch = np.empty(words + 16, np.int32)
+    r = lib.bz3n_bwt_inverse_ex(
+        u, out.ctypes.data_as(ctypes.c_void_p), n, index,
+        scratch.ctypes.data_as(ctypes.c_void_p), words,
+    )
+    return None if r < 0 else out.tobytes()

@@ -94,6 +94,13 @@ def sharded_encode_core_hostcrc(mesh: Mesh):
 
 
 def sharded_decode_core(mesh: Mesh, out_width: int):
+    """shard_map'd CM decode + inverse BWT (no device CRC: the wave
+    scheduler verifies on the host hardware CRC after the post-passes,
+    pipeline.py decode_blocks — the old device crc32_batch here was
+    computed and then DISCARDED by the caller, a whole extra device
+    stage per wave that made sharded decode slower than unsharded,
+    PERF_NOTES R4.6/R5.1)."""
+
     def _core(payload, payload_lens, sbb_lens, bwt_idx):
         from ..pipeline import _cm_impl
 
@@ -104,14 +111,13 @@ def sharded_decode_core(mesh: Mesh, out_width: int):
         else:
             u = cm_decode_batch(payload, payload_lens, sbb_lens, out_width)
         data = bwt_inverse_batch(u, sbb_lens, bwt_idx)
-        crc = crc32_batch(data, sbb_lens)
-        return data, crc
+        return data
 
     mapped = shard_map(
         _core,
         mesh=mesh,
         in_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
-        out_specs=(P("dp"), P("dp")),
+        out_specs=P("dp"),
         check_vma=False,
     )
     return jax.jit(mapped)
@@ -139,8 +145,7 @@ def sharded_pipeline(block_size: int, mesh: Mesh | None = None):
     def decode_core_fn(payload, payload_lens, sbb_lens, bwt_idx, out_width):
         if out_width not in dec_cache:
             dec_cache[out_width] = sharded_decode_core(mesh, out_width)
-        data, _crc = dec_cache[out_width](payload, payload_lens, sbb_lens, bwt_idx)
-        return data
+        return dec_cache[out_width](payload, payload_lens, sbb_lens, bwt_idx)
 
     pipe.encode_core_fn = encode_core_fn
     pipe.encode_core_hostcrc_fn = sharded_encode_core_hostcrc(mesh)

@@ -470,17 +470,15 @@ class DevicePipeline:
         # format max 511 MiB (src/libbz3.c:536) needs the native
         # engine.
         max_mib = float(os.environ.get("BZ3_TPU_MAX_DEVICE_BLOCK_MIB", "128"))
-        if (
-            block_size > int(max_mib * (1 << 20))
-            and jax.default_backend() == "tpu"
-        ):
-            raise Bz3Error(
-                BZ3_ERR_MALFORMED_HEADER,
-                f"device engine: block size {block_size} exceeds the "
-                f"device HBM cap ({int(max_mib)} MiB) — use the native "
-                "engine or raise BZ3_TPU_MAX_DEVICE_BLOCK_MIB at your "
-                "own risk",
-            )
+        # Past the cap the engine switches to the HOST-BWT HYBRID
+        # (docs/design_round5.md §3b): SA-IS / quad-merge inverse on
+        # the host, CM on device with capped/chunked staging — covering
+        # the format's full 65 KiB..511 MiB range (src/libbz3.c:536)
+        # without the forward sort's >= 10 GiB working set.
+        self.oversize = block_size > int(max_mib * (1 << 20)) and (
+            jax.default_backend() == "tpu"
+            or os.environ.get("BZ3_TPU_FORCE_OVERSIZE", "0") == "1"
+        )
         self.block_size = block_size
         self.width = _round_up(max(64, block_size), 256)
         self.use_rle = use_rle
@@ -567,6 +565,8 @@ class DevicePipeline:
         for data in blocks:
             if len(data) > self.block_size:
                 raise Bz3Error(BZ3_ERR_MALFORMED_HEADER, "block exceeds block size")
+        if self.oversize:
+            return self._encode_blocks_oversize(blocks)
 
         full = (
             self._full_cores()
@@ -789,6 +789,8 @@ class DevicePipeline:
         plus the bound checks below.
         """
         t = self.timer
+        if self.oversize:
+            return self._decode_blocks_oversize(blocks)
         bnd = bound(self.block_size)
         headers = []
         payloads = []
@@ -891,8 +893,13 @@ class DevicePipeline:
                             cm_decode_pallas_batch,
                         )
 
+                        # metadata uploads ONCE; per-group slices are
+                        # device-side (a host-slice jnp.asarray per
+                        # group was 2 tunnel round trips x groups)
+                        sbb_dev = jnp.asarray(sbb_w)
+                        idx_dev = jnp.asarray(idx_w)
                         u = cm_decode_pallas_batch(
-                            pay_arr, pay_lens, jnp.asarray(sbb_w), ow
+                            pay_arr, pay_lens, sbb_dev, ow
                         )
                         # inverse groups stay at a 64 MiB budget even
                         # though the forward default is 128: the
@@ -910,11 +917,11 @@ class DevicePipeline:
                                 break  # rows past count are padding
                             dg = bwt_inv_core(
                                 u[s : s + g],
-                                jnp.asarray(sbb_w[s : s + g]),
-                                jnp.asarray(idx_w[s : s + g]),
+                                sbb_dev[s : s + g],
+                                idx_dev[s : s + g],
                             )
                             data.append(
-                                _start_d2h(dg[: min(g, count - s), :sl_w])
+                                (s, _start_d2h(dg[: min(g, count - s), :sl_w]))
                             )
                     else:
                         data = self.decode_core_fn(
@@ -960,37 +967,42 @@ class DevicePipeline:
                         finals[i] = final[j, :ln].tobytes()
             return finals
         for wstart, count, data in waves:
-            with t.stage("decode/d2h"):
-                if isinstance(data, list):
-                    data = np.concatenate(
-                        [np.asarray(p) for p in data], axis=0
-                    )
-                else:
-                    data = np.asarray(data)
-            with t.stage("decode/host_post"):
-                for i in range(wstart, wstart + count):
-                    if i in literal:
-                        finals[i] = literal[i][0]
-                        continue
-                    hdr = headers[i]
-                    cur = data[i - wstart, : sbbs[i]].tobytes()
-                    if hdr.model & 2:
-                        cur = lzp_decode(cur, bnd)
-                        if cur is None:
-                            raise Bz3Error(BZ3_ERR_CRC)
-                    if hdr.model & 4:
-                        cur = rle_decode(cur, blocks[i][1])
-                        if cur is None:
-                            raise Bz3Error(BZ3_ERR_CRC)
-                    if len(cur) > self.block_size:
-                        raise Bz3Error(BZ3_ERR_MALFORMED_HEADER)
-                    finals[i] = cur
-            if not device_verify:
-                with t.stage("decode/crc_verify"):
-                    for i in range(wstart, wstart + count):
-                        want = literal[i][1] if i in literal else headers[i].crc32
-                        if int(_host_crc32(finals[i])) != want:
-                            raise Bz3Error(BZ3_ERR_CRC)
+            # Per-GROUP post-processing: pull group k, host-unLZP/RLE +
+            # CRC-verify its blocks while groups k+1.. are still
+            # computing / streaming back (their async D2H was started
+            # at dispatch) — the ~9 s/512 MiB host post + verify was
+            # fully exposed after the last pull before this (R4.9's
+            # largest single decode-overhead term).
+            parts = data if isinstance(data, list) else [(0, data)]
+            for s0, part in parts:
+                with t.stage("decode/d2h"):
+                    arr = np.asarray(part)
+                with t.stage("decode/host_post"):
+                    lo = wstart + s0
+                    hi = min(lo + arr.shape[0], wstart + count)
+                    for i in range(lo, hi):
+                        if i in literal:
+                            finals[i] = literal[i][0]
+                            continue
+                        hdr = headers[i]
+                        cur = arr[i - lo, : sbbs[i]].tobytes()
+                        if hdr.model & 2:
+                            cur = lzp_decode(cur, bnd)
+                            if cur is None:
+                                raise Bz3Error(BZ3_ERR_CRC)
+                        if hdr.model & 4:
+                            cur = rle_decode(cur, blocks[i][1])
+                            if cur is None:
+                                raise Bz3Error(BZ3_ERR_CRC)
+                        if len(cur) > self.block_size:
+                            raise Bz3Error(BZ3_ERR_MALFORMED_HEADER)
+                        finals[i] = cur
+                if not device_verify:
+                    with t.stage("decode/crc_verify"):
+                        for i in range(lo, hi):
+                            want = literal[i][1] if i in literal else headers[i].crc32
+                            if int(_host_crc32(finals[i])) != want:
+                                raise Bz3Error(BZ3_ERR_CRC)
 
         if device_verify:
             # Device-batched verify of every decoded block (incl.
@@ -1002,4 +1014,204 @@ class DevicePipeline:
                     want = literal[i][1] if i in literal else headers[i].crc32
                     if int(crcs[i]) != want:
                         raise Bz3Error(BZ3_ERR_CRC)
+        return finals
+
+    # -- oversize blocks: host-BWT hybrid -------------------------------
+    #
+    # Blocks past the device HBM cap (256-511 MiB; format range
+    # src/libbz3.c:536) run the BWT on the HOST — native SA-IS forward
+    # (csrc/bz3n.cpp bz3n_bwt_forward) and the quad-merge inverse —
+    # while the CM stage stays on DEVICE: resumable encode with a
+    # CAPPED output buffer (the worst-case i32 staging alone would be
+    # 18 GiB at 511 MiB) and the chunked-output stream decode
+    # (cm_decode_pallas_stream).  RLE/LZP/CRC are the standard host
+    # passes.  Host prep of block i+1 overlaps device CM of block i
+    # through a single worker thread (the ctypes SA-IS call releases
+    # the GIL).  Priced in docs/design_round5.md §3(b).
+
+    def _oversize_prep(self, data):
+        """Host half of oversize encode: CRC + RLE/LZP gating + SA-IS."""
+        try:
+            from .ops.native import bwt_forward as host_bwt_forward
+        except Exception:  # pragma: no cover - toolchain-less
+            from .ops.ref.bwt import bwt_forward as host_bwt_forward
+
+        crc = int(_host_crc32(data))
+        if len(data) < SMALL_BLOCK_THRESHOLD:
+            return crc, None
+        model, lzp_size, rle_size, cur = 0, -1, -1, data
+        if self.use_rle:
+            r = rle_encode(cur)
+            if len(r) < len(cur):
+                cur, rle_size, model = r, len(r), model | 4
+        if self.use_lzp:
+            l = lzp_encode(cur)
+            if l is not None and len(l) < len(cur):
+                cur, lzp_size, model = l, len(l), model | 2
+        u, idx = host_bwt_forward(cur)
+        return crc, (model, lzp_size, rle_size, len(cur), u, idx)
+
+    def _native_fallback_encode(self, data):
+        """Exact re-encode of one block when the capped device payload
+        overflows (e.g. incompressible data at a small cap fraction)."""
+        try:
+            from .ops.native import NativeCodec
+
+            return NativeCodec(self.block_size).encode_block(data)
+        except Exception:  # pragma: no cover - toolchain-less
+            from .models.block_codec import encode_block
+
+            return encode_block(data)
+
+    def _encode_blocks_oversize(self, blocks: list[bytes]) -> list[bytes]:
+        from concurrent.futures import ThreadPoolExecutor
+
+        t = self.timer
+        out = []
+        with ThreadPoolExecutor(1) as ex:
+            nxt = ex.submit(self._oversize_prep, blocks[0]) if blocks else None
+            for i, data in enumerate(blocks):
+                with t.stage("encode/host_prepass"):
+                    crc, meta = nxt.result()
+                if i + 1 < len(blocks):
+                    nxt = ex.submit(self._oversize_prep, blocks[i + 1])
+                if meta is None:  # literal path (< 64 bytes)
+                    out.append(
+                        _U32.pack(crc & 0xFFFFFFFF) + _S32.pack(-1) + data
+                    )
+                    continue
+                model, lzp_size, rle_size, sbb, u, idx = meta
+                # Capped payload width: full bound()-sized staging is
+                # 8 padded lanes x i32 = up to 18 GiB; real post-BWT CM
+                # ratios sit well under the cap fraction, and an
+                # overflow row is re-encoded natively (never emitted
+                # corrupt).
+                frac = float(os.environ.get("BZ3_TPU_OVERSIZE_OUT_FRAC", "0.4"))
+                cap = _round_up(max(1 << 20, int(sbb * frac)) + 4096, 1024)
+                with t.stage("encode/dispatch"):
+                    u_arr = jnp.asarray(
+                        np.frombuffer(u, np.uint8)[None, :]
+                    )
+                    lens = jnp.asarray(np.array([sbb], np.int32))
+                    if _cm_impl() == "pallas":
+                        from .ops.device.cm_pallas import (
+                            cm_encode_pallas_batch,
+                        )
+
+                        payload, plens = cm_encode_pallas_batch(
+                            u_arr, lens, out_width=cap, lanes=8
+                        )
+                    else:  # CPU test lane: XLA scan, uncapped
+                        payload, plens = cm_encode_batch(u_arr, lens)
+                with t.stage("encode/sync_meta"):
+                    plen = int(np.asarray(plens)[0])
+                # pallas sizes the buffer exactly at the cap; the CPU
+                # scan path is full-width — either way overflow means
+                # "payload larger than the buffer that was written"
+                if plen > payload.shape[1]:
+                    out.append(self._native_fallback_encode(data))
+                    continue
+                with t.stage("encode/d2h_payload"):
+                    pay = np.asarray(_start_d2h(payload[0, :plen]))
+                with t.stage("encode/assemble"):
+                    hdr = bytearray(
+                        _U32.pack(crc & 0xFFFFFFFF) + _S32.pack(int(idx))
+                    )
+                    hdr.append(model)
+                    if model & 2:
+                        hdr += _S32.pack(lzp_size)
+                    if model & 4:
+                        hdr += _S32.pack(rle_size)
+                    out.append(bytes(hdr) + pay.tobytes())
+        return out
+
+    def _decode_blocks_oversize(
+        self, blocks: list[tuple[bytes, int]]
+    ) -> list[bytes]:
+        try:
+            from .ops.native import bwt_inverse as host_bwt_inverse
+        except Exception:  # pragma: no cover - toolchain-less
+            from .ops.ref.bwt import bwt_inverse as _ref_inv
+
+            def host_bwt_inverse(u, idx):
+                return _ref_inv(u, idx)
+
+        t = self.timer
+        bnd = bound(self.block_size)
+        finals = []
+        for block, orig_size in blocks:
+            if len(block) > bnd:
+                raise Bz3Error(BZ3_ERR_MALFORMED_HEADER)
+            hdr = parse_block_header(block)
+            if hdr.is_literal:
+                data = block[8:]
+                if len(data) > 64:
+                    raise Bz3Error(BZ3_ERR_MALFORMED_HEADER)
+                if int(_host_crc32(data)) != hdr.crc32:
+                    raise Bz3Error(BZ3_ERR_CRC)
+                finals.append(data)
+                continue
+            if (hdr.model & 2 and not (0 <= hdr.lzp_size <= bnd)) or (
+                hdr.model & 4 and not (0 <= hdr.rle_size <= bnd)
+            ):
+                raise Bz3Error(BZ3_ERR_MALFORMED_HEADER)
+            if orig_size > bnd or orig_size < 0:
+                raise Bz3Error(BZ3_ERR_MALFORMED_HEADER)
+            if hdr.model & 2:
+                sbb = hdr.lzp_size
+            elif hdr.model & 4:
+                sbb = hdr.rle_size
+            else:
+                sbb = orig_size
+            if hdr.bwt_idx > sbb or sbb > self.width:
+                raise Bz3Error(BZ3_ERR_MALFORMED_HEADER)
+            payload = block[hdr.header_size() :]
+            with t.stage("decode/pad_h2d"):
+                pay_arr = jnp.asarray(
+                    np.frombuffer(payload, np.uint8)[None, :]
+                )
+                plen = jnp.asarray(np.array([len(payload)], np.int32))
+                sbb_a = jnp.asarray(np.array([sbb], np.int32))
+            with t.stage("decode/dispatch"):
+                if _cm_impl() == "pallas":
+                    from .ops.device.cm_pallas import (
+                        cm_decode_pallas_stream,
+                    )
+
+                    # chunked stream: pull piece j while j+1 computes
+                    pieces = []
+                    pending = None
+                    for _s, chunk in cm_decode_pallas_stream(
+                        pay_arr, plen, sbb_a, sbb, lanes=8
+                    ):
+                        _start_d2h(chunk)
+                        if pending is not None:
+                            pieces.append(np.asarray(pending))
+                        pending = chunk
+                    if pending is not None:
+                        pieces.append(np.asarray(pending))
+                    u = np.concatenate(pieces, axis=1)[0, :sbb]
+                else:  # CPU test lane: XLA scan
+                    ow = _round_up(max(256, sbb), 256)
+                    u = np.asarray(
+                        cm_decode_batch(pay_arr, plen, sbb_a, ow)
+                    )[0, :sbb]
+            with t.stage("decode/host_post"):
+                cur = host_bwt_inverse(u.tobytes(), hdr.bwt_idx)
+                if cur is None:
+                    raise Bz3Error(BZ3_ERR_BWT)
+                if hdr.model & 2:
+                    cur = lzp_decode(cur, bnd)
+                    if cur is None:
+                        raise Bz3Error(BZ3_ERR_CRC)
+                if hdr.model & 4:
+                    cur = rle_decode(cur, orig_size)
+                    if cur is None:
+                        raise Bz3Error(BZ3_ERR_CRC)
+                if len(cur) > self.block_size:
+                    raise Bz3Error(BZ3_ERR_MALFORMED_HEADER)
+            with t.stage("decode/crc_verify"):
+                if int(_host_crc32(cur)) != hdr.crc32:
+                    raise Bz3Error(BZ3_ERR_CRC)
+            finals.append(cur)
         return finals

@@ -47,6 +47,49 @@ def rt(pipe, blocks, reps=2):
     return best_e, best_d
 
 
+def inv_curve():
+    """Inverse-BWT stage scaling (the decode stage whose WORK shards;
+    the scan-CM's serial step count does not — see PERF_NOTES R5.1)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from bzip3_tpu.ops.device.bwt import bwt_forward_batch, bwt_inverse_batch
+
+    corpus = make_corpus(K * BS + (1 << 20))[: K * BS]
+    rows = np.frombuffer(corpus[: K * BS], np.uint8).reshape(K, BS)
+    data = jnp.asarray(rows)
+    lens = jnp.full((K,), BS, jnp.int32)
+    u, idx = bwt_forward_batch(data, lens)
+    u.block_until_ready()
+
+    def run(fn):
+        fn(u, lens, idx)[0].block_until_ready()  # compile
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(u, lens, idx).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    base = run(jax.jit(lambda a, b, c: bwt_inverse_batch(a, b, c)))
+    print(f"unsharded inverse-BWT: {base:.3f}s", flush=True)
+    for n in (1, 2, 4, 8):
+        mesh = make_mesh(n)
+        f = jax.jit(
+            shard_map(
+                lambda a, b, c: bwt_inverse_batch(a, b, c),
+                mesh=mesh,
+                in_specs=(P("dp"), P("dp"), P("dp")),
+                out_specs=P("dp"),
+                check_vma=False,
+            )
+        )
+        tbest = run(f)
+        print(f"sharded inverse-BWT n={n}: {tbest:.3f}s ({tbest / base:.2f}x)",
+              flush=True)
+
+
 def main():
     corpus = make_corpus(K * BS + (1 << 20))[: K * BS]
     blocks = [corpus[i : i + BS] for i in range(0, len(corpus), BS)]
@@ -64,4 +107,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "inv" in sys.argv:
+        inv_curve()
+    else:
+        main()

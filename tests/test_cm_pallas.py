@@ -78,6 +78,36 @@ def test_cm_pallas_decode_bit_exact(blocks, spec):
         assert dec[i, : lens[i]].tobytes() == b, f"block {i}"
 
 
+def test_cm_pallas_stream_decode_bit_exact(blocks, monkeypatch):
+    """CHUNKED-OUTPUT stream decode (the oversize-block hybrid's CM
+    half, cm_decode_pallas_stream): per-launch output buffers with
+    launch-relative flush offsets must reassemble to the exact oracle
+    bytes across several launches."""
+    import bzip3_tpu.ops.device.cm_pallas as cmp_
+
+    monkeypatch.setattr(cmp_, "_CM_CHUNK_STEPS", 512)
+    enc = [cm_encode(b) for b in blocks]
+    m = max(len(e) for e in enc)
+    pdata, plens = _pad(enc, max(128, m))
+    n = max(len(b) for b in blocks)
+    width = max(1024, n)  # 2 launches at the shrunken 512-step chunk
+    _, lens = _pad(blocks, width)
+    pieces = list(
+        cmp_.cm_decode_pallas_stream(
+            jnp.asarray(pdata),
+            jnp.asarray(plens),
+            jnp.asarray(lens),
+            width,
+            lanes=LANES,
+            interpret=True,
+        )
+    )
+    assert len(pieces) >= 2  # the chunking actually engaged
+    u = np.concatenate([np.asarray(c) for _s, c in pieces], axis=1)
+    for i, b in enumerate(blocks):
+        assert u[i, : len(b)].tobytes() == b, f"block {i}"
+
+
 @pytest.mark.parametrize("spec", [False, True])
 def test_cm_pallas_resumable_multilaunch(blocks, spec, monkeypatch):
     """RESUMABLE launches (state spill/reload between kernel calls,

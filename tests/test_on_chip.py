@@ -202,3 +202,30 @@ def test_device_128mib_block_on_chip():
     enc = dev.encode_blocks([block], bs)
     dec = dev.decode_blocks([(enc[0], bs)], bs)
     assert dec[0] == block
+
+
+@pytest.mark.skipif(
+    os.environ.get("BZ3_TPU_ON_CHIP_HEAVY", "0") != "1",
+    reason="multi-minute heavy lane: BZ3_TPU_ON_CHIP_HEAVY=1",
+)
+@pytest.mark.parametrize("mib", [256, 511])
+def test_device_oversize_block_on_chip(mib):
+    """256 MiB and the format-max 511 MiB blocks (src/libbz3.c:536)
+    through --engine device: the HOST-BWT hybrid (native SA-IS +
+    capped/chunked device CM, pipeline.py _encode_blocks_oversize).
+    Parity: the stream must decode through the native codec too."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import make_corpus
+    from bzip3_tpu.engines import get_engine
+
+    bs = mib << 20
+    block = make_corpus(bs + (1 << 20))[:bs]
+    dev = get_engine("device")
+    enc = dev.encode_blocks([block], bs)
+    from bzip3_tpu.ops.native import NativeCodec
+
+    assert NativeCodec(bs).decode_block(enc[0], bs) == block
+    dec = dev.decode_blocks([(enc[0], bs)], bs)
+    assert dec[0] == block

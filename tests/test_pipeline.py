@@ -207,6 +207,32 @@ def test_split_dispatch_path(blocks, monkeypatch):
         assert e == encode_block(b)
 
 
+def test_oversize_hostbwt_route(text_data, monkeypatch):
+    """Blocks past the device HBM cap route through the HOST-BWT hybrid
+    (host SA-IS / quad-merge inverse + device CM, pipeline.py
+    _encode_blocks_oversize) and stay byte-identical to the oracle
+    block codec.  BZ3_TPU_FORCE_OVERSIZE exercises the route on the
+    CPU backend at a tiny cap; on chip the same path serves the format
+    range past 128 MiB (src/libbz3.c:536)."""
+    monkeypatch.setenv("BZ3_TPU_MAX_DEVICE_BLOCK_MIB", "0.001")
+    monkeypatch.setenv("BZ3_TPU_FORCE_OVERSIZE", "1")
+    bs = 4096
+    pipe = DevicePipeline(bs)
+    assert pipe.oversize
+    cases = [
+        text_data[:bs],
+        b"ab" * (bs // 2),
+        b"x" * 40,  # literal path
+        bytes(RNG.integers(0, 256, bs, dtype=np.uint8)),
+        text_data[bs : bs + 3000],
+    ]
+    enc = pipe.encode_blocks(cases)
+    for e, b in zip(enc, cases):
+        assert e == encode_block(b)
+    dec = pipe.decode_blocks([(e, len(b)) for e, b in zip(enc, cases)])
+    assert dec == cases
+
+
 def test_sharded_dispatch_overhead_regression(blocks):
     """shard_map at n=1 must not cost materially more than the plain
     pipeline (the verdict-8 regression net; the measured overhead on
@@ -241,4 +267,59 @@ def test_sharded_dispatch_overhead_regression(blocks):
     assert t_s < t_u * 2.0, (
         f"sharded n=1 round trip {t_s:.3f}s vs unsharded {t_u:.3f}s — "
         "dispatch overhead regressed far past the measured 1.02x"
+    )
+
+
+def test_sharded_inverse_bwt_scaling_regression(text_data):
+    """Sharded decode's SHARDABLE stage must actually scale: the
+    inverse BWT at n=4 on the virtual mesh must run well under the
+    unsharded wall (measured ~0.5x; bound 0.7x per the round-4
+    verdict).  The CM scan's serial step count cannot shard on this
+    backend (PERF_NOTES R5.1), so the e2e decode ratio is not a valid
+    CPU-mesh signal — this stage ratio is.  BZ3_PERF lane (wall-clock
+    assert)."""
+    import os
+    import time
+
+    if os.environ.get("BZ3_PERF", "0") != "1":
+        pytest.skip("wall-clock perf assert; set BZ3_PERF=1 for the perf lane")
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from bzip3_tpu.ops.device.bwt import bwt_forward_batch, bwt_inverse_batch
+
+    k, n = 8, 256 << 10
+    raw = np.frombuffer((text_data * (k * n // len(text_data) + 1))[: k * n],
+                        np.uint8).reshape(k, n)
+    data = jnp.asarray(raw)
+    lens = jnp.full((k,), n, jnp.int32)
+    u, idx = bwt_forward_batch(data, lens)
+    u.block_until_ready()
+
+    def best_of(fn, reps=3):
+        fn(u, lens, idx).block_until_ready()
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(u, lens, idx).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_u = best_of(jax.jit(lambda a, b, c: bwt_inverse_batch(a, b, c)))
+    mesh = make_mesh(4)
+    t_s = best_of(
+        jax.jit(
+            shard_map(
+                lambda a, b, c: bwt_inverse_batch(a, b, c),
+                mesh=mesh,
+                in_specs=(P("dp"), P("dp"), P("dp")),
+                out_specs=P("dp"),
+                check_vma=False,
+            )
+        )
+    )
+    assert t_s < t_u * 0.7, (
+        f"sharded inverse-BWT n=4 {t_s:.3f}s vs unsharded {t_u:.3f}s — "
+        "the shardable decode stage stopped scaling"
     )
