@@ -901,15 +901,20 @@ class DevicePipeline:
                         u = cm_decode_pallas_batch(
                             pay_arr, pay_lens, sbb_dev, ow
                         )
-                        # inverse groups stay at a 64 MiB budget even
-                        # though the forward default is 128: the
-                        # latency-bound inverse gains nothing from
-                        # bigger batches, while smaller groups start
-                        # their sliced D2H pulls earlier (decode
-                        # measured 2.87 vs 2.71 MiB/s e2e)
+                        # inverse groups run SMALLER than the forward
+                        # sort groups: the latency-bound inverse gains
+                        # nothing from bigger batches (R5.3 fused-node
+                        # A/B: 8.47 MB/s at [1x16Mi] vs 6.71 at
+                        # [4x16Mi] same session), and smaller groups
+                        # start their sliced D2H pulls earlier (64 MiB
+                        # groups measured 2.87 vs 2.71 MiB/s e2e in
+                        # r4; BZ3_TPU_INV_GROUP_MIB re-A/Bs it)
+                        inv_mib = int(
+                            os.environ.get("BZ3_TPU_INV_GROUP_MIB", "16")
+                        )
                         g = min(
                             _bwt_row_groups(rows, ow),
-                            max(1, (64 << 20) // max(1, ow)),
+                            max(1, (inv_mib << 20) // max(1, ow)),
                         )
                         data = []
                         for s in range(0, rows, g):

@@ -180,6 +180,25 @@ def test_device_engine_e2e_on_chip():
     assert dec == blocks
 
 
+def test_device_16mib_block_e2e_on_chip():
+    """One 16 MiB block (the bench's -b 16 shape) through the device
+    engine at DEFAULT knobs in the non-heavy on-chip lane — catches
+    bench-shape regressions (the R4.8 HBM-blowup class) in pytest
+    instead of in the driver's bench run (r4 verdict item 8)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import make_corpus
+    from bzip3_tpu.engines import get_engine
+
+    bs = 16 << 20
+    block = make_corpus(int(bs * 1.3) + (1 << 20))[:bs]
+    dev = get_engine("device")
+    enc = dev.encode_blocks([block], bs)
+    dec = dev.decode_blocks([(enc[0], bs)], bs)
+    assert dec[0] == block
+
+
 @pytest.mark.skipif(
     os.environ.get("BZ3_TPU_ON_CHIP_HEAVY", "0") != "1",
     reason="multi-minute heavy lane: BZ3_TPU_ON_CHIP_HEAVY=1",
