@@ -1941,16 +1941,33 @@ def _encode_call_resume(data, ilens, startstop, out_prev, c1s, smalls,
     return outs
 
 
+@partial(jax.jit, static_argnames=("lanes", "cs"))
+def _stage_window(src_u8, s, lanes, cs):
+    """Slice one launch window from the REAL-rows source and pad the
+    lane axis on the fly: src holds only the rows that exist (a single
+    128-511 MiB block keeps 0.5 GiB staged instead of the 4 GiB
+    8-lane-padded buffer that OOM'd the 511 MiB hybrid)."""
+    rows = src_u8.shape[0]
+    win = jax.lax.dynamic_slice(src_u8, (0, s), (rows, cs)).astype(I32)
+    if rows < lanes:
+        win = jnp.concatenate(
+            [win, jnp.zeros((lanes - rows, cs), I32)], axis=0
+        )
+    return win
+
+
 def _encode_resumable(src_u8, il, lanes, n_steps, out_chunks, interpret, spec,
                       ablate=''):
     """Multi-launch encode for blocks whose single launch would trip
     the kernel-duration watchdog (PERF_NOTES R3.8).
 
-    ``src_u8``: [lanes, n_pad] uint8 (n_pad a multiple of the launch
-    chunk).  Each launch stages only ITS step window as i32 — at
-    128 MiB blocks the old whole-block i32 staging was 4 GiB of HBM
-    (x4 the bytes, x8 the lanes for a single block); the window is
-    one launch-chunk (~512 MiB)."""
+    ``src_u8``: [rows, n_pad] uint8 (REAL rows only; n_pad a multiple
+    of the launch chunk).  Each launch stages only ITS step window as
+    i32, lane-padded on the fly (~512 MiB at 8 lanes).  For big
+    blocks the dispatch loop THROTTLES every other launch: async
+    dispatch otherwise piles up every launch's window buffer before
+    the device has executed any of them (32 x 0.5 GiB at 511 MiB —
+    the other half of the R5 OOM)."""
     out_buf = jnp.zeros((2, lanes, out_chunks // 2, 8, 128), I32)
     c1s = jnp.zeros((lanes, 256, 128), I32)
     smalls = jnp.zeros((10, lanes, 128), I32)
@@ -1960,10 +1977,12 @@ def _encode_resumable(src_u8, il, lanes, n_steps, out_chunks, interpret, spec,
     wstb = jnp.zeros((2, lanes, 8, 128), I32)
     cs = _chunk_steps(lanes)
     starts = list(range(0, n_steps, cs))
+    # keep at most ~2 launch windows in flight once they are big
+    throttle = len(starts) > 4 and lanes * cs * 4 > (1 << 28)
     olens = None
     for j, s in enumerate(starts):
         e = min(s + cs, n_steps)
-        win = jax.lax.dynamic_slice(src_u8, (0, s), (lanes, cs)).astype(I32)
+        win = _stage_window(src_u8, s, lanes=lanes, cs=cs)
         ss = jnp.asarray(np.array([[s, e]], np.int32))
         (out_buf, olens, c1s, smalls, c2s, regs, wv, wstb) = _encode_call_resume(
             win, il, ss, out_buf, c1s, smalls, c2s, regs, wv, wstb,
@@ -1971,6 +1990,10 @@ def _encode_resumable(src_u8, il, lanes, n_steps, out_chunks, interpret, spec,
             interpret=interpret, spec=spec,
             first=(j == 0), last=(j == len(starts) - 1), ablate=ablate,
         )
+        if throttle and (j & 1):
+            # dependent scalar pull (block_until_ready is unreliable
+            # through the tunnel, R3.0)
+            np.asarray(olens[:1, :1])
     return out_buf, olens
 
 
@@ -2007,8 +2030,10 @@ def cm_encode_pallas_batch(
         if n_steps > _chunk_steps(lanes) or os.environ.get("BZ3_TPU_CM_RESUME", "0") == "1":
             cs = _chunk_steps(lanes)
             n_pad = -(-n_steps // cs) * cs
-            src = jnp.zeros((lanes, n_pad), jnp.uint8)
-            src = src.at[:rows, :n].set(data[g : g + rows].astype(jnp.uint8))
+            # REAL rows only — lane padding happens per launch window
+            # (_stage_window), not in this whole-block buffer
+            src = jnp.zeros((rows, n_pad), jnp.uint8)
+            src = src.at[:, :n].set(data[g : g + rows].astype(jnp.uint8))
             out, olens = _encode_resumable(
                 src, il, lanes, n_steps, out_chunks, interpret, spec,
                 ablate=_ablate(),
