@@ -1024,11 +1024,18 @@ def _decode_call(payload, plens, olens, lanes, n_steps, in_chunks, interpret, sp
 
 @partial(jax.jit, static_argnames=(
     "lanes", "n_steps", "in_chunks", "interpret", "spec", "first", "last",
-    "ablate"))
+    "ablate"),
+    donate_argnums=(4, 5, 6, 7, 8))
 def _decode_call_resume(payload, plens, olens, startstop, out_prev,
                         regs, c1s, smalls, c2s,
                         lanes, n_steps, in_chunks, interpret, spec,
                         first, last, ablate=''):
+    # The carried state (out_prev/regs/c1s/smalls/c2s) is DONATED at
+    # the jit boundary: the pallas input_output_aliases below only
+    # alias within the program — without jit-level donation XLA must
+    # COPY every carried buffer per launch (at 128 MiB blocks that is
+    # a 4 GiB output copy per launch; at the 511 MiB hybrid it was an
+    # assured OOM).
     kern = _make_decode_kernel(lanes, n_steps, in_chunks, spec_mul=spec,
                                resume=True, first=first, last=last,
                                ablate=ablate)
@@ -1088,7 +1095,8 @@ def _decode_call_resume(payload, plens, olens, startstop, out_prev,
 
 @partial(jax.jit, static_argnames=(
     "lanes", "chunk_steps", "n_steps", "in_chunks", "interpret", "spec",
-    "first", "last", "ablate"))
+    "first", "last", "ablate"),
+    donate_argnums=(4, 5, 6, 7))
 def _decode_call_resume_chunk(payload, plens, olens, startstop,
                               regs, c1s, smalls, c2s,
                               lanes, chunk_steps, n_steps, in_chunks,
@@ -1870,13 +1878,17 @@ def _encode_call(data, ilens, lanes, n_steps, out_chunks, interpret, spec=False,
 
 @partial(jax.jit, static_argnames=(
     "lanes", "n_steps", "out_chunks", "interpret", "spec", "first", "last",
-    "ablate"))
+    "ablate"),
+    donate_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _encode_call_resume(data, ilens, startstop, out_prev, c1s, smalls,
                         c2s, regs, wv, wstb,
                         lanes, n_steps, out_chunks, interpret, spec,
                         first, last, ablate=''):
     """One launch of the RESUMABLE encode (steps [start, stop) from the
-    SMEM startstop pair); all state arrays are input-output aliased."""
+    SMEM startstop pair); all state arrays are input-output aliased —
+    and DONATED at the jit boundary (see _decode_call_resume note:
+    without donation every launch copies the whole carried state,
+    which at 511 MiB blocks was an assured OOM)."""
     kern = _make_encode_kernel(lanes, n_steps, out_chunks, spec_mul=spec,
                                resume=True, first=first, last=last,
                                ablate=ablate)
