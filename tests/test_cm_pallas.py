@@ -78,6 +78,31 @@ def test_cm_pallas_decode_bit_exact(blocks, spec):
         assert dec[i, : lens[i]].tobytes() == b, f"block {i}"
 
 
+def test_cm_pallas_encode_capped_overflow(blocks):
+    """Capped output buffers (the oversize-block hybrid sizes encode
+    staging under the worst case): a lane whose payload exceeds the
+    cap must CLAMP its output DMAs (no out-of-bounds write) while
+    reporting its true length so the caller flags the row — and
+    sibling lanes that fit must stay byte-exact."""
+    from bzip3_tpu.ops.device.cm_pallas import cm_encode_pallas_batch
+
+    rng = np.random.default_rng(5)
+    incompressible = bytes(rng.integers(0, 256, 2000, dtype=np.uint8))
+    cases = [blocks[0], incompressible, blocks[2]]
+    data, lens = _pad(cases, 2048)
+    cap = 1024  # < len(cm_encode(incompressible)) >= 2000
+    out, olens = cm_encode_pallas_batch(
+        jnp.asarray(data), jnp.asarray(lens), out_width=cap,
+        lanes=LANES, interpret=True,
+    )
+    out, olens = np.asarray(out), np.asarray(olens)
+    assert int(olens[1]) > cap  # true length reported -> caller flags
+    for i in (0, 2):  # fitting siblings unaffected
+        want = cm_encode(cases[i])
+        assert len(want) <= cap
+        assert out[i, : olens[i]].tobytes() == want, f"block {i}"
+
+
 def test_cm_pallas_stream_decode_bit_exact(blocks, monkeypatch):
     """CHUNKED-OUTPUT stream decode (the oversize-block hybrid's CM
     half, cm_decode_pallas_stream): per-launch output buffers with
