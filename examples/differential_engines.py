@@ -10,6 +10,14 @@ bounded; data lengths/classes are fully random, including the <64-byte
 literal boundary and empty blocks.
 
 Usage: python examples/differential_engines.py [seed] [trials]
+
+Long campaigns should run as FRESH-PROCESS chunks (vary the seed):
+XLA:CPU JIT section mappings accumulate per process and a single
+process dies with "LLVM ERROR: Unable to allocate section memory"
+after ~50 distinct compiled shapes on default vm.max_map_count boxes:
+
+    for i in 0 1 2 3 4; do python examples/differential_engines.py \
+        $((200+i)) 30 || exit 1; done
 """
 
 import os
